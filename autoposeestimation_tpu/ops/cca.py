@@ -1,0 +1,165 @@
+"""Connected-component analysis under jit.
+
+Replaces every cv2.connectedComponents call in the reference (classical label
+generator /root/reference/label_generator/utils.py:21-23,271-353, the BS-model
+postprocessing /root/reference/background_subtraction/utils.py:199-223, and the
+live path /root/reference/pipeline/utils.py:450-467) with a jit-compiled,
+static-shape algorithm so CCA can live inside the fused XLA serving graph.
+
+Algorithm: min-label propagation. Each masked pixel starts with its flat index;
+each sweep takes the min over the 8(4)-neighborhood and then runs *segmented*
+cumulative minima along rows and columns (both directions) via
+`lax.associative_scan`, which propagates labels across entire straight runs in
+one step. Convergence therefore needs only O(#turns in the component geometry)
+sweeps — a handful for real object blobs — bounded by `max_iters` inside a
+`lax.while_loop`. The final label of a component is the minimum flat index of
+its pixels, which equals cv2's raster-scan component ordering.
+
+Per-component statistics use `segment_sum` keyed by the root label, giving the
+reference's three component-selection rules (mean-score, area, sum-score).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _segmented_cummin(values, boundary, axis: int, reverse: bool):
+    """Running min along `axis` that resets after boundary=True elements."""
+
+    def combine(a, b):
+        av, ab = a
+        bv, bb = b
+        return jnp.where(bb, bv, jnp.minimum(av, bv)), ab | bb
+
+    out, _ = jax.lax.associative_scan(combine, (values, boundary), axis=axis,
+                                      reverse=reverse)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("connectivity", "max_iters"))
+def connected_components(mask, connectivity: int = 8, max_iters: int = 64):
+    """Label connected components of a boolean mask.
+
+    Returns int32 labels (H, W): masked pixels carry the min flat index of
+    their component; background pixels carry H*W. Matches
+    cv2.connectedComponents up to label renumbering (component partition and
+    raster ordering are identical; use `compact_labels` for 0..K numbering).
+    """
+    h, w = mask.shape
+    big = jnp.int32(h * w)
+    flat_idx = (
+        jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) * w
+        + jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    )
+    init = jnp.where(mask, flat_idx, big)
+    boundary = ~mask
+
+    def neighborhood_min(lbl):
+        if connectivity == 8:
+            window = (3, 3)
+            nmin = jax.lax.reduce_window(
+                lbl, big, jax.lax.min, window, (1, 1), "SAME")
+        else:
+            nmin_r = jax.lax.reduce_window(
+                lbl, big, jax.lax.min, (3, 1), (1, 1), "SAME")
+            nmin_c = jax.lax.reduce_window(
+                lbl, big, jax.lax.min, (1, 3), (1, 1), "SAME")
+            nmin = jnp.minimum(nmin_r, nmin_c)
+        return jnp.where(mask, nmin, big)
+
+    def sweep(lbl):
+        lbl = neighborhood_min(lbl)
+        lbl = jnp.where(mask, _segmented_cummin(lbl, boundary, 1, False), big)
+        lbl = jnp.where(mask, _segmented_cummin(lbl, boundary, 1, True), big)
+        lbl = jnp.where(mask, _segmented_cummin(lbl, boundary, 0, False), big)
+        lbl = jnp.where(mask, _segmented_cummin(lbl, boundary, 0, True), big)
+        return lbl
+
+    def cond(state):
+        _, changed, it = state
+        return changed & (it < max_iters)
+
+    def body(state):
+        lbl, _, it = state
+        new = sweep(lbl)
+        return new, jnp.any(new != lbl), it + 1
+
+    labels, _, _ = jax.lax.while_loop(cond, body, (init, jnp.bool_(True), 0))
+    return labels
+
+
+def component_stats(labels, mask, score):
+    """Per-root-label (count, score_sum) via segment reduction.
+
+    Background pixels fall into segment H*W and are ignored by callers.
+    Returns (counts (H*W+1,), sums (H*W+1,)) indexed by root flat index.
+    """
+    h, w = labels.shape
+    n = h * w
+    seg = jnp.where(mask, labels, n).reshape(-1)
+    ones = mask.reshape(-1).astype(jnp.float32)
+    counts = jax.ops.segment_sum(ones, seg, num_segments=n + 1)
+    sums = jax.ops.segment_sum(score.reshape(-1).astype(jnp.float32) * ones,
+                               seg, num_segments=n + 1)
+    return counts, sums
+
+
+@functools.partial(jax.jit, static_argnames=("rule", "connectivity", "max_iters"))
+def best_component_mask(mask, score, min_size: float = 0.0, rule: str = "mean",
+                        connectivity: int = 8, max_iters: int = 64):
+    """Select the best connected component of `mask` by `rule` over `score`.
+
+    Rules (all from the reference):
+      * 'mean' — highest floor(mean score), components larger than min_size
+        (/root/reference/label_generator/utils.py:281-297, pipeline/utils.py:459-463
+        without the floor; the floor only breaks near-ties so we keep it for the
+        label generator's strict-> semantics),
+      * 'area' — largest pixel count (/root/reference/label_generator/utils.py:339-353),
+      * 'sum'  — largest score sum (/root/reference/background_subtraction/utils.py:210-216).
+
+    Returns (component_mask (H, W) bool, found () bool). If no component
+    qualifies, `found` is False and the mask is empty (the reference's
+    corresponding failure mode selects the background component; callers that
+    need that exact fallback handle it on `found == False`).
+    """
+    labels = connected_components(mask, connectivity, max_iters)
+    counts, sums = component_stats(labels, mask, score)
+    eligible = counts > min_size
+
+    if rule == "mean":
+        values = jnp.floor(sums / jnp.maximum(counts, 1.0))
+    elif rule == "area":
+        values = counts
+    elif rule == "sum":
+        values = sums
+    else:
+        raise ValueError(f"unknown rule {rule!r}")
+
+    values = jnp.where(eligible, values, -jnp.inf)
+    best = jnp.argmax(values)  # first max == lowest root == cv2 label order
+    found = jnp.any(eligible) & (jnp.max(values) > 0)
+    comp = mask & (labels == best) & found
+    return comp, found
+
+
+def compact_labels(labels, mask, max_components: int):
+    """Renumber root labels to 0..K-1 in raster order (cv2-compatible ids).
+
+    Returns (compact (H, W) int32 with background = -1, k ()=component count).
+    `max_components` bounds the output numbering statically.
+    """
+    h, w = labels.shape
+    n = h * w
+    flat = jnp.where(mask, labels, n).reshape(-1)
+    is_root = mask.reshape(-1) & (flat == jnp.arange(n, dtype=jnp.int32))
+    order = jnp.cumsum(is_root.astype(jnp.int32)) - 1  # rank of each root
+    rank_of_root = jnp.where(is_root, order, 0)
+    # map every pixel to its root's rank
+    pixel_rank = rank_of_root[jnp.clip(flat, 0, n - 1)]
+    compact = jnp.where(mask.reshape(-1),
+                        jnp.minimum(pixel_rank, max_components - 1), -1)
+    return compact.reshape(h, w), jnp.sum(is_root.astype(jnp.int32))

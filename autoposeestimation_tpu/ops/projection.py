@@ -1,0 +1,189 @@
+"""Camera projection ops: depth backprojection, point projection, quantized
+bounding boxes, and static-shape masked point selection.
+
+Replaces the reference's per-pixel Python loops
+(/root/reference/pc_reconstruction/open3d_utils.py:215-243, the `get_surface`
+hot loop at :171-213) and the numpy choose/backproject glue in the datasets and
+live path (/root/reference/DenseFusion/datasets/myDatasetAugmented/dataset.py:250-275,
+/root/reference/pipeline/utils.py:529-553) with fully vectorized, jit-safe
+versions. Everything here uses static shapes: variable-size point sets are
+(N, ...) arrays plus a validity count/mask.
+
+Intrinsics are passed as a (4,) vector (fx, fy, ppx, ppy) — see
+`utils.io.Intrinsics.as_array`.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+# Reference image geometry (640x480) and the 40-px bbox quantization ladder
+# (/root/reference/DenseFusion/datasets/myDatasetAugmented/dataset.py:338-341).
+IMG_H = 480
+IMG_W = 640
+BORDER_STEP = 40
+BORDER_MAX = 680
+
+
+def pixels_to_points(rows, cols, depth_vals, intr):
+    """Backproject pixel coordinates + depth to camera-frame points.
+
+    x = (col - ppx) * z / fx ; y = (row - ppy) * z / fy ; z = depth.
+    Matches /root/reference/pc_reconstruction/open3d_utils.py:215-231 (where
+    p[0] is the row and p[1] the column). Depth must already be in the output
+    unit (mm or m).
+    """
+    fx, fy, ppx, ppy = intr[0], intr[1], intr[2], intr[3]
+    z = depth_vals
+    x = (cols.astype(z.dtype) - ppx) * z / fx
+    y = (rows.astype(z.dtype) - ppy) * z / fy
+    return jnp.stack([x, y, z], axis=-1)
+
+
+def depth_to_cloud(depth, intr):
+    """Backproject a full (H, W) depth image to an (H*W, 3) camera-frame cloud.
+
+    Zero-depth pixels produce (0, 0, 0); callers use `depth > 0` as validity.
+    """
+    h, w = depth.shape
+    rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    pts = pixels_to_points(rows, cols, depth.astype(jnp.float32), intr)
+    return pts.reshape(h * w, 3)
+
+
+def points_to_pixels(points, intr):
+    """Project camera-frame points (..., 3) to integer (row, col) pixels.
+
+    Matches /root/reference/pc_reconstruction/open3d_utils.py:233-243 (truncation
+    toward zero via int()).
+    """
+    fx, fy, ppx, ppy = intr[0], intr[1], intr[2], intr[3]
+    x, y, z = points[..., 0], points[..., 1], points[..., 2]
+    # floor with a small epsilon: same truncation semantics as the reference's
+    # int(), made robust to float32 rounding just below integer pixel centers.
+    col = jnp.floor(x / (z / fx) + ppx + 1e-3).astype(jnp.int32)
+    row = jnp.floor(y / (z / fy) + ppy + 1e-3).astype(jnp.int32)
+    return jnp.stack([row, col], axis=-1)
+
+
+def quantize_extent(extent):
+    """Reference bbox-size quantization: grow to the next multiple of 40 unless
+    already a multiple (strict-inequality interval ladder at dataset.py:350-357)."""
+    extent = jnp.asarray(extent, jnp.int32)
+    q = ((extent + BORDER_STEP - 1) // BORDER_STEP) * BORDER_STEP
+    return jnp.minimum(q, BORDER_MAX)
+
+
+def get_bbox(mask, img_h: int = IMG_H, img_w: int = IMG_W):
+    """Quantized bbox (rmin, rmax, cmin, cmax) of a boolean mask — jit-safe.
+
+    Behavior parity with /root/reference/DenseFusion/datasets/myDatasetAugmented/
+    dataset.py:342-380: tight bbox, +1 on max, extent quantized to the border
+    ladder, recentered, shifted inside the image. Returns int32 scalars; if the
+    mask is empty, returns a bbox of minimal extent at the origin (callers must
+    check `mask.any()`).
+    """
+    rows_any = jnp.any(mask, axis=1)
+    cols_any = jnp.any(mask, axis=0)
+    ridx = jax.lax.broadcasted_iota(jnp.int32, (mask.shape[0], 1), 0)[:, 0]
+    cidx = jax.lax.broadcasted_iota(jnp.int32, (mask.shape[1], 1), 0)[:, 0]
+    big = jnp.int32(10 ** 9)
+    rmin = jnp.min(jnp.where(rows_any, ridx, big))
+    rmax = jnp.max(jnp.where(rows_any, ridx, -1)) + 1
+    cmin = jnp.min(jnp.where(cols_any, cidx, big))
+    cmax = jnp.max(jnp.where(cols_any, cidx, -1)) + 1
+    empty = ~jnp.any(mask)
+    rmin = jnp.where(empty, 0, rmin)
+    rmax = jnp.where(empty, 1, rmax)
+    cmin = jnp.where(empty, 0, cmin)
+    cmax = jnp.where(empty, 1, cmax)
+
+    r_b = quantize_extent(rmax - rmin)
+    c_b = quantize_extent(cmax - cmin)
+    rc = (rmin + rmax) // 2
+    cc = (cmin + cmax) // 2
+    rmin = rc - r_b // 2
+    rmax = rc + r_b // 2
+    cmin = cc - c_b // 2
+    cmax = cc + c_b // 2
+    # shift inside the image (same delta-based correction as the reference)
+    rshift = jnp.maximum(-rmin, 0) - jnp.maximum(rmax - img_h, 0)
+    cshift = jnp.maximum(-cmin, 0) - jnp.maximum(cmax - img_w, 0)
+    return rmin + rshift, rmax + rshift, cmin + cshift, cmax + cshift
+
+
+def fixed_crop_bbox(mask, crop: int, img_h: int = IMG_H, img_w: int = IMG_W):
+    """(rmin, cmin) of a fixed `crop`-sized window centered on the mask bbox,
+    clamped inside the image. The static window size is what lets the whole
+    pose path compile once — the reference's variable 40-px-quantized bboxes
+    (dataset.py:342-380) become a single static shape here; the quantized bbox
+    information is preserved because only masked pixels are ever gathered.
+    """
+    rmin, rmax, cmin, cmax = get_bbox(mask, img_h, img_w)
+    rc = (rmin + rmax) // 2
+    cc = (cmin + cmax) // 2
+    r0 = jnp.clip(rc - crop // 2, 0, img_h - crop)
+    c0 = jnp.clip(cc - crop // 2, 0, img_w - crop)
+    return r0, c0
+
+
+@functools.partial(jax.jit, static_argnames=("num_pt",))
+def choose_masked_indices(window_mask, num_pt: int, key) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Select `num_pt` flat indices of True pixels in a (S, S) window — jit-safe.
+
+    Parity with the reference's choose logic (dataset.py:250-257 /
+    pipeline/utils.py:529-539): if more than num_pt masked pixels, sample
+    uniformly without replacement keeping ascending order; otherwise wrap-pad.
+    Returns (indices (num_pt,) int32, count ()=number of valid mask pixels).
+    An empty mask yields count == 0 (indices all zero) — callers must gate.
+    """
+    flat = window_mask.reshape(-1)
+    n = flat.shape[0]
+    count = jnp.sum(flat.astype(jnp.int32))
+    idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+
+    # Random subsample without replacement: random keys for valid pixels,
+    # +inf for invalid; the num_pt smallest random keys win.
+    scores = jax.random.uniform(key, (n,))
+    scores = jnp.where(flat, scores, jnp.inf)
+    _, sel = jax.lax.top_k(-scores, num_pt)  # indices of num_pt smallest scores
+    sel = jnp.sort(sel)  # restore spatial (ascending flat-index) order
+
+    # Wrap-pad path: compact valid indices to the front (stable), index mod count.
+    order = jnp.argsort(jnp.where(flat, idx, n + idx))  # valid first, in order
+    compact = idx[order]
+    safe_count = jnp.maximum(count, 1)
+    wrap = compact[jnp.arange(num_pt, dtype=jnp.int32) % safe_count]
+
+    indices = jnp.where(count > num_pt, sel, wrap)
+    return indices.astype(jnp.int32), count
+
+
+def gather_window(img, r0, c0, crop: int):
+    """Dynamic-slice a (H, W, ...) array to a static (crop, crop, ...) window."""
+    start = (r0, c0) + (0,) * (img.ndim - 2)
+    sizes = (crop, crop) + img.shape[2:]
+    return jax.lax.dynamic_slice(img, start, sizes)
+
+
+def backproject_choose(depth, mask, intr, depth_scale, r0, c0, crop: int,
+                       num_pt: int, key):
+    """The fused crop→choose→backproject step of the pose path.
+
+    Returns (cloud (num_pt, 3) [m], choose (num_pt,) flat window indices,
+    count ()). Matches dataset.py:260-275: z = depth * depth_scale,
+    x from columns via (fx, ppx), y from rows via (fy, ppy).
+    """
+    dwin = gather_window(depth, r0, c0, crop).astype(jnp.float32)
+    mwin = gather_window(mask, r0, c0, crop)
+    valid = mwin & (dwin > 0)
+    choose, count = choose_masked_indices(valid, num_pt, key)
+    rows = r0 + choose // crop
+    cols = c0 + choose % crop
+    z = dwin.reshape(-1)[choose] * depth_scale
+    cloud = pixels_to_points(rows, cols, z, intr)
+    return cloud, choose, count

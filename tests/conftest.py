@@ -1,0 +1,17 @@
+"""Test configuration: force JAX onto a virtual 8-device CPU mesh.
+
+Must run before any jax import (pytest imports conftest before test modules).
+Tests stand in for TPU per SURVEY.md §4's rebuild test strategy; the driver
+separately compile-checks the TPU path via __graft_entry__.py.
+"""
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -1,0 +1,116 @@
+"""CCA under jit vs cv2.connectedComponents, plus the three selection rules."""
+import cv2
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from autoposeestimation_tpu.ops import cca
+
+
+def partitions_equal(labels_a, labels_b, mask):
+    """Same partition regardless of label numbering."""
+    a = labels_a[mask]
+    b = labels_b[mask]
+    pairs = set(zip(a.tolist(), b.tolist()))
+    return len(pairs) == len(set(x for x, _ in pairs)) == len(set(y for _, y in pairs))
+
+
+def random_blobs(seed, shape=(96, 128), n_blobs=6):
+    rng = np.random.default_rng(seed)
+    mask = np.zeros(shape, bool)
+    for _ in range(n_blobs):
+        r, c = rng.integers(0, shape[0] - 20), rng.integers(0, shape[1] - 20)
+        h, w = rng.integers(3, 20), rng.integers(3, 20)
+        mask[r:r + h, c:c + w] = True
+    return mask
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+@pytest.mark.parametrize("connectivity", [4, 8])
+def test_cca_matches_cv2_partition(seed, connectivity):
+    mask = random_blobs(seed)
+    _, want = cv2.connectedComponents(mask.astype(np.uint8), connectivity=connectivity)
+    got = np.asarray(cca.connected_components(jnp.asarray(mask), connectivity))
+    assert partitions_equal(got, want, mask)
+    assert np.all(got[~mask] == mask.size)
+
+
+def test_cca_snake():
+    # a winding path exercises multi-sweep convergence
+    mask = np.zeros((40, 40), bool)
+    mask[0, :] = True
+    mask[:, -1] = True
+    mask[-1, :] = True
+    mask[10, :30] = True
+    mask[10:30, 0] = True
+    got = np.asarray(cca.connected_components(jnp.asarray(mask), 8))
+    _, want = cv2.connectedComponents(mask.astype(np.uint8), connectivity=8)
+    assert partitions_equal(got, want, mask)
+
+
+def test_cca_diagonal_connectivity():
+    mask = np.zeros((8, 8), bool)
+    mask[np.arange(8), np.arange(8)] = True  # diagonal line
+    got8 = np.asarray(cca.connected_components(jnp.asarray(mask), 8))
+    assert len(np.unique(got8[mask])) == 1
+    got4 = np.asarray(cca.connected_components(jnp.asarray(mask), 4))
+    assert len(np.unique(got4[mask])) == 8
+
+
+def test_best_component_mean_rule():
+    mask = np.zeros((32, 32), bool)
+    score = np.zeros((32, 32), np.float32)
+    mask[2:8, 2:8] = True          # 36 px, mean 10
+    score[2:8, 2:8] = 10.0
+    mask[20:30, 20:30] = True      # 100 px, mean 50
+    score[20:30, 20:30] = 50.0
+    comp, found = cca.best_component_mask(jnp.asarray(mask), jnp.asarray(score),
+                                          min_size=5, rule="mean")
+    assert bool(found)
+    comp = np.asarray(comp)
+    assert comp[25, 25] and not comp[4, 4]
+
+
+def test_best_component_min_size_gate():
+    mask = np.zeros((32, 32), bool)
+    score = np.zeros((32, 32), np.float32)
+    mask[2:4, 2:4] = True          # only 4 px — below min_size
+    score[2:4, 2:4] = 100.0
+    mask[20:30, 20:30] = True
+    score[20:30, 20:30] = 1.0
+    comp, found = cca.best_component_mask(jnp.asarray(mask), jnp.asarray(score),
+                                          min_size=50, rule="mean")
+    assert bool(found)
+    comp = np.asarray(comp)
+    assert comp[25, 25] and not comp[2, 2]
+
+
+def test_best_component_area_and_sum_rules():
+    mask = np.zeros((32, 32), bool)
+    score = np.zeros((32, 32), np.float32)
+    mask[2:12, 2:12] = True        # 100 px, score 1 → sum 100
+    score[2:12, 2:12] = 1.0
+    mask[20:26, 20:26] = True      # 36 px, score 10 → sum 360
+    score[20:26, 20:26] = 10.0
+    by_area, _ = cca.best_component_mask(jnp.asarray(mask), jnp.asarray(score), 0, "area")
+    by_sum, _ = cca.best_component_mask(jnp.asarray(mask), jnp.asarray(score), 0, "sum")
+    assert np.asarray(by_area)[5, 5] and not np.asarray(by_area)[22, 22]
+    assert np.asarray(by_sum)[22, 22] and not np.asarray(by_sum)[5, 5]
+
+
+def test_best_component_empty_mask():
+    mask = jnp.zeros((16, 16), bool)
+    comp, found = cca.best_component_mask(mask, jnp.zeros((16, 16)), 0, "mean")
+    assert not bool(found)
+    assert not np.asarray(comp).any()
+
+
+def test_compact_labels():
+    mask = random_blobs(7)
+    labels = cca.connected_components(jnp.asarray(mask), 8)
+    compact, k = cca.compact_labels(labels, jnp.asarray(mask), 64)
+    n_cv, want = cv2.connectedComponents(mask.astype(np.uint8), connectivity=8)
+    assert int(k) == n_cv - 1  # cv2 counts background
+    got = np.asarray(compact)
+    assert got[~mask].max() == -1
+    assert partitions_equal(got, want, mask)
