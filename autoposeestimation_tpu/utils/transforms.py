@@ -12,7 +12,13 @@ Conventions (matching the reference):
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+
+# Rigid-transform math is tiny but accuracy-critical: always run the 3x3/4x4
+# contractions at full f32 precision (TPU would otherwise default to bf16 MXU
+# passes, which costs ~5e-3 error on rotation products).
+_HI = jax.lax.Precision.HIGHEST
 
 
 def quat_normalize(q, eps: float = 1e-12):
@@ -184,7 +190,7 @@ def euler_to_mat(ai, aj, ak):
         ],
         -2,
     )
-    return rz @ ry @ rx
+    return jnp.matmul(rz, jnp.matmul(ry, rx, precision=_HI), precision=_HI)
 
 
 def mat_to_euler(m):
@@ -225,7 +231,7 @@ def tf_inverse(tf):
     r = tf[..., :3, :3]
     t = tf[..., :3, 3]
     rt = jnp.swapaxes(r, -1, -2)
-    ti = -jnp.einsum("...ij,...j->...i", rt, t)
+    ti = -jnp.einsum("...ij,...j->...i", rt, t, precision=_HI)
     return make_tf(rt, ti)
 
 
@@ -233,7 +239,7 @@ def apply_tf(tf, points):
     """Apply transform(s) (..., 4, 4) to points (..., N, 3)."""
     r = tf[..., :3, :3]
     t = tf[..., :3, 3]
-    return jnp.einsum("...ij,...nj->...ni", r, points) + t[..., None, :]
+    return jnp.einsum("...ij,...nj->...ni", r, points, precision=_HI) + t[..., None, :]
 
 
 def pose_to_tf(quat, trans):
@@ -248,6 +254,6 @@ def compose_quat_poses(q1, t1, q2, t2):
     (/root/reference/DenseFusion/tools/utils.py:20-40).
     """
     r1 = quat_to_mat(q1)
-    t = jnp.einsum("...ij,...j->...i", r1, t2) + t1
+    t = jnp.einsum("...ij,...j->...i", r1, t2, precision=_HI) + t1
     q = quat_multiply(q1, q2)
     return quat_normalize(q), t

@@ -15,3 +15,8 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+# Tests compare against f64-ish numpy goldens; keep matmuls at full f32.
+jax.config.update("jax_default_matmul_precision", "highest")
