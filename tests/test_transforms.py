@@ -53,10 +53,20 @@ def test_axangle():
 
 def test_rotvec_roundtrip():
     rng = np.random.default_rng(4)
-    rv = jnp.asarray(rng.normal(size=(32, 3)) * 1.5, jnp.float32)
+    rv = rng.normal(size=(32, 3))
+    # canonical range: |angle| < pi (beyond that the representation wraps)
+    rv = rv / np.linalg.norm(rv, axis=-1, keepdims=True) * rng.uniform(0.01, 3.1, (32, 1))
+    rv = jnp.asarray(rv, jnp.float32)
     m = T.rotvec_to_mat(rv)
     rv2 = T.mat_to_rotvec(m)
-    np.testing.assert_allclose(np.asarray(rv2), np.asarray(rv), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(rv2), np.asarray(rv), atol=1e-3)
+
+
+def test_rotvec_above_pi_equivalent_rotation():
+    rv = jnp.asarray([0.0, 0.0, 5.0], jnp.float32)  # angle > pi
+    m = T.rotvec_to_mat(rv)
+    m2 = T.rotvec_to_mat(T.mat_to_rotvec(m))
+    np.testing.assert_allclose(np.asarray(m2), np.asarray(m), atol=1e-5)
 
 
 def test_rotvec_identity_safe():
