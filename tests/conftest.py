@@ -18,5 +18,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 
+# The axon TPU plugin ignores the JAX_PLATFORMS env var; force CPU explicitly
+# so tests run on the virtual 8-device host mesh, not the tunneled chip.
+jax.config.update("jax_platforms", "cpu")
+
 # Tests compare against f64-ish numpy goldens; keep matmuls at full f32.
 jax.config.update("jax_default_matmul_precision", "highest")
