@@ -1,0 +1,146 @@
+"""DenseFusion pose networks in flax — batched, vmap-native.
+
+Parity with /root/reference/DenseFusion/lib/network.py, re-architected for TPU:
+  * the reference's bs=1 hack (`b = 0` object indexing, network.py:123-126)
+    is gone — everything takes a leading batch dim and per-sample object ids;
+  * the per-point 1x1 Conv1d stacks become Dense layers over (B, N, C) —
+    pure MXU matmuls at (B*N, C) granularity;
+  * PSPNet runs on fixed-size crops so one compiled graph serves every object.
+
+PoseNet: PSPNet 32-d color embedding gathered at the chosen pixels, fused with
+pointwise geometry features (3->64->128 and 32->64->128), a 1024-d global
+average feature, and three per-point heads predicting per-point quaternion
+(w,x,y,z), translation offset, and confidence. PoseRefineNet consumes the
+rebased cloud + the same embedding and outputs one global pose correction.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .pspnet import PSPNet
+
+Dtype = Any
+
+
+def gather_embeddings(emb_map, choose):
+    """emb_map (B, S, S, E), choose (B, N) flat window indices -> (B, N, E)."""
+    b, s1, s2, e = emb_map.shape
+    flat = emb_map.reshape(b, s1 * s2, e)
+    return jnp.take_along_axis(flat, choose[..., None].astype(jnp.int32), axis=1)
+
+
+class PoseNetFeat(nn.Module):
+    """Pointwise dense-fusion feature pyramid (network.py:39-68)."""
+
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, cloud, emb):
+        x = nn.relu(nn.Dense(64, dtype=self.dtype)(cloud.astype(self.dtype)))
+        e = nn.relu(nn.Dense(64, dtype=self.dtype)(emb.astype(self.dtype)))
+        pf1 = jnp.concatenate([x, e], axis=-1)  # (B, N, 128)
+
+        x = nn.relu(nn.Dense(128, dtype=self.dtype)(x))
+        e = nn.relu(nn.Dense(128, dtype=self.dtype)(e))
+        pf2 = jnp.concatenate([x, e], axis=-1)  # (B, N, 256)
+
+        g = nn.relu(nn.Dense(512, dtype=self.dtype)(pf2))
+        g = nn.relu(nn.Dense(1024, dtype=self.dtype)(g))
+        g = jnp.mean(g, axis=1, keepdims=True)  # AvgPool1d(num_points)
+        g = jnp.broadcast_to(g, pf1.shape[:2] + (1024,))
+        return jnp.concatenate([pf1, pf2, g], axis=-1)  # (B, N, 1408)
+
+
+class PoseHead(nn.Module):
+    """640 -> 256 -> 128 -> out_dim*num_obj pointwise head (network.py:77-121)."""
+
+    out_dim: int
+    num_obj: int
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, feat, obj_idx):
+        y = nn.relu(nn.Dense(640, dtype=self.dtype)(feat))
+        y = nn.relu(nn.Dense(256, dtype=self.dtype)(y))
+        y = nn.relu(nn.Dense(128, dtype=self.dtype)(y))
+        y = nn.Dense(self.out_dim * self.num_obj, dtype=jnp.float32)(
+            y.astype(jnp.float32))
+        b, n, _ = y.shape
+        y = y.reshape(b, n, self.num_obj, self.out_dim)
+        sel = obj_idx.reshape(b, 1, 1, 1).astype(jnp.int32)
+        return jnp.take_along_axis(y, jnp.broadcast_to(
+            sel, (b, n, 1, self.out_dim)), axis=2)[:, :, 0, :]
+
+
+class PoseNet(nn.Module):
+    """Returns (pred_r (B,N,4), pred_t (B,N,3), pred_c (B,N,1), emb (B,N,32)).
+
+    `img` is the fixed-size normalized crop (B, S, S, 3); `choose` holds flat
+    indices into the S*S window (ops/projection.backproject_choose)."""
+
+    num_obj: int
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, img, cloud, choose, obj_idx, train: bool = False):
+        emb_map = PSPNet(dtype=self.dtype)(img, train=train)
+        emb = gather_embeddings(emb_map, choose)  # (B, N, 32)
+        feat = PoseNetFeat(dtype=self.dtype)(cloud, emb)
+        pred_r = PoseHead(4, self.num_obj, self.dtype)(feat, obj_idx)
+        pred_t = PoseHead(3, self.num_obj, self.dtype)(feat, obj_idx)
+        pred_c = nn.sigmoid(PoseHead(1, self.num_obj, self.dtype)(feat, obj_idx))
+        # the refiner consumes the embedding without backprop through PoseNet
+        return pred_r, pred_t, pred_c, jax.lax.stop_gradient(emb)
+
+
+class PoseRefineNetFeat(nn.Module):
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, cloud, emb):
+        x = nn.relu(nn.Dense(64, dtype=self.dtype)(cloud.astype(self.dtype)))
+        e = nn.relu(nn.Dense(64, dtype=self.dtype)(emb.astype(self.dtype)))
+        pf1 = jnp.concatenate([x, e], axis=-1)
+        x = nn.relu(nn.Dense(128, dtype=self.dtype)(x))
+        e = nn.relu(nn.Dense(128, dtype=self.dtype)(e))
+        pf2 = jnp.concatenate([x, e], axis=-1)
+        pf3 = jnp.concatenate([pf1, pf2], axis=-1)  # (B, N, 384)
+        g = nn.relu(nn.Dense(512, dtype=self.dtype)(pf3))
+        g = nn.relu(nn.Dense(1024, dtype=self.dtype)(g))
+        return jnp.mean(g, axis=1)  # (B, 1024)
+
+
+class RefineHead(nn.Module):
+    out_dim: int
+    num_obj: int
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, feat, obj_idx):
+        y = nn.relu(nn.Dense(512, dtype=self.dtype)(feat))
+        y = nn.relu(nn.Dense(128, dtype=self.dtype)(y))
+        y = nn.Dense(self.out_dim * self.num_obj, dtype=jnp.float32)(
+            y.astype(jnp.float32))
+        b = y.shape[0]
+        y = y.reshape(b, self.num_obj, self.out_dim)
+        sel = obj_idx.reshape(b, 1, 1).astype(jnp.int32)
+        return jnp.take_along_axis(y, jnp.broadcast_to(
+            sel, (b, 1, self.out_dim)), axis=1)[:, 0, :]
+
+
+class PoseRefineNet(nn.Module):
+    """Returns (pred_r (B, 4), pred_t (B, 3)) — one global correction."""
+
+    num_obj: int
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, cloud, emb, obj_idx):
+        feat = PoseRefineNetFeat(dtype=self.dtype)(cloud, emb)
+        pred_r = RefineHead(4, self.num_obj, self.dtype)(feat, obj_idx)
+        pred_t = RefineHead(3, self.num_obj, self.dtype)(feat, obj_idx)
+        return pred_r, pred_t

@@ -1,0 +1,63 @@
+"""U-Net with a ResNet34 encoder — segmentation-models-pytorch parity.
+
+The reference trains `smp.Unet('resnet34', classes=n, activation='softmax')`
+for multi-class segmentation (/root/reference/segmentation/__init__.py:12-14,
+main.py:404-417) and the same with in_channels=7 / classes=2 for the learned
+background-subtraction model (/root/reference/background_subtraction/__init__.py:275-279).
+
+smp decoder contract reproduced here: 5 decoder blocks with channels
+(256, 128, 64, 32, 16); each block nearest-2x-upsamples, concatenates the
+matching encoder skip (deepest first; the last block has no skip), then applies
+two conv3x3-BN-ReLU stacks. Segmentation head = conv3x3 to `classes`.
+"""
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .common import upsample_nearest_2x
+from .resnet import ResNetEncoder
+
+Dtype = Any
+
+
+class DecoderBlock(nn.Module):
+    features: int
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, skip=None, train: bool = False):
+        x = upsample_nearest_2x(x)
+        if skip is not None:
+            x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
+        for _ in range(2):
+            x = nn.Conv(self.features, (3, 3), padding=1, use_bias=False,
+                        dtype=self.dtype)(x)
+            x = nn.BatchNorm(use_running_average=not train,
+                             dtype=jnp.float32)(x)
+            x = nn.relu(x)
+        return x
+
+
+class UNet(nn.Module):
+    """U-Net resnet34. Input NHWC float (normalized); output logits NHWC
+    (classes last). H and W must be multiples of 32."""
+
+    classes: int
+    decoder_channels: Sequence[int] = (256, 128, 64, 32, 16)
+    encoder_stages: Sequence[int] = (3, 4, 6, 3)
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        feats = ResNetEncoder(self.encoder_stages, dtype=self.dtype)(x, train)
+        # skips, deepest first: [/16, /8, /4, /2], then None at full res
+        skips = [feats[3], feats[2], feats[1], feats[0], None]
+        y = feats[4]
+        for features, skip in zip(self.decoder_channels, skips):
+            y = DecoderBlock(features, dtype=self.dtype)(y, skip, train)
+        logits = nn.Conv(self.classes, (3, 3), padding=1,
+                         dtype=jnp.float32)(y.astype(jnp.float32))
+        return logits

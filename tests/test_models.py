@@ -1,0 +1,118 @@
+"""Model stack: shapes, init, forward, and structural invariants."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from autoposeestimation_tpu.models import unet, pspnet, densefusion, common
+
+
+def test_unet_shapes_multiclass():
+    model = unet.UNet(classes=5, dtype=jnp.float32)
+    x = jnp.zeros((2, 96, 128, 3))
+    params = model.init(jax.random.PRNGKey(0), x)
+    logits, _ = model.apply(params, x, train=True,
+                            mutable=["batch_stats"])
+    assert logits.shape == (2, 96, 128, 5)
+    assert logits.dtype == jnp.float32
+
+
+def test_unet_7channel_binary():
+    model = unet.UNet(classes=2, dtype=jnp.float32)
+    x = jnp.zeros((1, 64, 64, 7))
+    params = model.init(jax.random.PRNGKey(0), x)
+    logits = model.apply(params, x)
+    assert logits.shape == (1, 64, 64, 2)
+
+
+def test_pspnet_output_is_logsoftmax_embedding():
+    model = pspnet.PSPNet(dtype=jnp.float32)
+    x = jnp.zeros((1, 80, 80, 3))
+    params = model.init(jax.random.PRNGKey(0), x)
+    emb = model.apply(params, x)
+    assert emb.shape == (1, 80, 80, 32)
+    # log-softmax: logsumexp over channels == 0
+    lse = np.asarray(jax.scipy.special.logsumexp(emb, axis=-1))
+    np.testing.assert_allclose(lse, 0.0, atol=1e-4)
+
+
+def test_posenet_shapes_and_object_select():
+    num_obj, n = 4, 100
+    model = densefusion.PoseNet(num_obj=num_obj, dtype=jnp.float32)
+    img = jnp.zeros((2, 48, 48, 3))
+    cloud = jnp.zeros((2, n, 3))
+    choose = jnp.zeros((2, n), jnp.int32)
+    obj = jnp.asarray([1, 3])
+    params = model.init(jax.random.PRNGKey(0), img, cloud, choose, obj)
+    r, t, c, emb = model.apply(params, img, cloud, choose, obj)
+    assert r.shape == (2, n, 4)
+    assert t.shape == (2, n, 3)
+    assert c.shape == (2, n, 1)
+    assert emb.shape == (2, n, 32)
+    assert np.all(np.asarray(c) >= 0) and np.all(np.asarray(c) <= 1)
+
+
+def test_posenet_object_heads_differ():
+    """Different object ids must route through different head slices."""
+    num_obj, n = 3, 50
+    model = densefusion.PoseNet(num_obj=num_obj, dtype=jnp.float32)
+    img = jax.random.normal(jax.random.PRNGKey(1), (1, 48, 48, 3))
+    cloud = jax.random.normal(jax.random.PRNGKey(2), (1, n, 3))
+    choose = jnp.arange(n, dtype=jnp.int32)[None]
+    params = model.init(jax.random.PRNGKey(0), img, cloud, choose,
+                        jnp.asarray([0]))
+    r0, *_ = model.apply(params, img, cloud, choose, jnp.asarray([0]))
+    r1, *_ = model.apply(params, img, cloud, choose, jnp.asarray([1]))
+    assert not np.allclose(np.asarray(r0), np.asarray(r1))
+
+
+def test_refinenet_shapes():
+    model = densefusion.PoseRefineNet(num_obj=4, dtype=jnp.float32)
+    cloud = jnp.zeros((2, 100, 3))
+    emb = jnp.zeros((2, 100, 32))
+    obj = jnp.asarray([0, 2])
+    params = model.init(jax.random.PRNGKey(0), cloud, emb, obj)
+    r, t = model.apply(params, cloud, emb, obj)
+    assert r.shape == (2, 4)
+    assert t.shape == (2, 3)
+
+
+def test_gather_embeddings():
+    emb_map = jnp.arange(2 * 4 * 4 * 3, dtype=jnp.float32).reshape(2, 4, 4, 3)
+    choose = jnp.asarray([[0, 5], [15, 1]], jnp.int32)
+    out = np.asarray(densefusion.gather_embeddings(emb_map, choose))
+    flat = np.asarray(emb_map).reshape(2, 16, 3)
+    np.testing.assert_array_equal(out[0, 0], flat[0, 0])
+    np.testing.assert_array_equal(out[0, 1], flat[0, 5])
+    np.testing.assert_array_equal(out[1, 0], flat[1, 15])
+
+
+def test_adaptive_avg_pool_matches_torch_semantics():
+    import torch
+
+    x = np.random.default_rng(0).normal(size=(1, 11, 13, 5)).astype(np.float32)
+    for s in (1, 2, 3, 6):
+        want = torch.nn.functional.adaptive_avg_pool2d(
+            torch.from_numpy(x.transpose(0, 3, 1, 2)), s).numpy().transpose(0, 2, 3, 1)
+        got = np.asarray(common.adaptive_avg_pool(jnp.asarray(x), s))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+@pytest.mark.parametrize("align", [True, False])
+def test_resize_bilinear_matches_torch(align):
+    import torch
+
+    x = np.random.default_rng(1).normal(size=(1, 10, 14, 3)).astype(np.float32)
+    want = torch.nn.functional.interpolate(
+        torch.from_numpy(x.transpose(0, 3, 1, 2)), size=(20, 28),
+        mode="bilinear", align_corners=align).numpy().transpose(0, 2, 3, 1)
+    got = np.asarray(common.resize_bilinear(jnp.asarray(x), (20, 28),
+                                            align_corners=align))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_normalize_imagenet():
+    img = jnp.full((4, 4, 3), 255.0)
+    out = np.asarray(common.normalize_imagenet(img))
+    want = (1.0 - np.asarray(common.IMAGENET_MEAN)) / np.asarray(common.IMAGENET_STD)
+    np.testing.assert_allclose(out[0, 0], want, atol=1e-6)
