@@ -115,9 +115,10 @@ def best_component_mask(mask, score, min_size: float = 0.0, rule: str = "mean",
 
     Rules (all from the reference):
       * 'mean' — highest floor(mean score), components larger than min_size
-        (/root/reference/label_generator/utils.py:281-297, pipeline/utils.py:459-463
-        without the floor; the floor only breaks near-ties so we keep it for the
-        label generator's strict-> semantics),
+        (/root/reference/label_generator/utils.py:281-297; the int() floor
+        matters for its strict-> tie semantics),
+      * 'mean_float' — highest mean score without the floor
+        (/root/reference/pipeline/utils.py:459-463),
       * 'area' — largest pixel count (/root/reference/label_generator/utils.py:339-353),
       * 'sum'  — largest score sum (/root/reference/background_subtraction/utils.py:210-216).
 
@@ -132,6 +133,8 @@ def best_component_mask(mask, score, min_size: float = 0.0, rule: str = "mean",
 
     if rule == "mean":
         values = jnp.floor(sums / jnp.maximum(counts, 1.0))
+    elif rule == "mean_float":
+        values = sums / jnp.maximum(counts, 1.0)
     elif rule == "area":
         values = counts
     elif rule == "sum":

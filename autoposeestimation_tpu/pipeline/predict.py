@@ -1,0 +1,249 @@
+"""The live multi-object prediction path — one fused, jit-compiled XLA graph.
+
+Reference: `full_prediction` (/root/reference/pipeline/utils.py:410-641), which
+chains GPU segmentation, CPU cv2 CCA, numpy backprojection, and per-class
+PoseNet/refiner forwards with host round-trips per object. Here the whole
+frame->poses computation is a single compiled program:
+
+  normalize -> U-Net -> softmax/argmax -> per-class best-component CCA (vmap)
+  -> fixed crop + choose 1000 + backproject (per class) -> ONE batched PoseNet
+  forward over all class slots -> iterative refiner (rebase + compose, the
+  eval-path semantics, experiments/eval.py:74-77) -> per-class (quat, trans).
+
+Every class occupies a static slot; `found` masks the inactive ones. The crop
+is a static window (default 320, covering the reference's 40-px-quantized
+bboxes for tabletop objects); `choose` indices address that window.
+
+Outputs keep the reference's class-keyed dict contract via the host wrapper
+`full_prediction`, including the {segmentation, pose_estimation, total}
+elapsed-times dict (pipeline/utils.py:413,515,605,637).
+"""
+from __future__ import annotations
+
+import functools
+import os
+import time
+from typing import Any, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import densefusion, losses, unet
+from ..models.common import normalize_imagenet
+from ..ops import cca as cca_ops
+from ..ops import projection as proj
+from ..utils import transforms as T
+from ..utils.timing import StageTimer
+
+
+class PredictionModels(NamedTuple):
+    seg_model: Any
+    seg_vars: Any
+    posenet: Any
+    pose_vars: Any
+    refiner: Any
+    refine_vars: Any
+    classes: tuple            # class names, index 0 = first foreground class
+    model_points: jnp.ndarray  # (K, M, 3) per-class model clouds [m]
+    num_points: int
+    crop: int
+    refine_iters: int
+
+
+def _segment(seg_model, seg_vars, image):
+    x = normalize_imagenet(image)[None]
+    logits = seg_model.apply(seg_vars, x)[0]
+    probs = jax.nn.softmax(logits, axis=-1)
+    pred_arg = jnp.argmax(probs, axis=-1).astype(jnp.int32)
+    return probs, pred_arg
+
+
+def _class_mask(probs, pred_arg, cls_id, min_count: int = 100):
+    """Largest-mean-probability connected component of one class
+    (pipeline/utils.py:444-467). cls_id is 1-based (0 = background)."""
+    cls_mask = pred_arg == cls_id
+    count = jnp.sum(cls_mask.astype(jnp.int32))
+    # the reference scores components by mean(class_id * prob); the class-id
+    # factor is constant within a class so plain prob picks the same component
+    score = jnp.where(cls_mask, jnp.take_along_axis(
+        probs, jnp.full(probs.shape[:2] + (1,), cls_id, jnp.int32),
+        axis=-1)[..., 0], 0.0)
+    comp, found = cca_ops.best_component_mask(cls_mask, score, min_size=0.0,
+                                              rule="mean_float")
+    return comp, found & (count > min_count)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("models_static",),
+)
+def _full_prediction_jit(seg_vars, pose_vars, refine_vars,
+                         image, depth, intr, depth_scale, key, models_static):
+    """models_static: (seg_model, posenet, refiner, num_classes_fg, num_points,
+    crop, refine_iters) — hashable module refs + ints."""
+    (seg_model, posenet, refiner, k_fg, num_points, crop,
+     refine_iters) = models_static
+
+    probs, pred_arg = _segment(seg_model, seg_vars, image)
+
+    cls_ids = jnp.arange(1, k_fg + 1, dtype=jnp.int32)
+    masks, found = jax.vmap(lambda c: _class_mask(probs, pred_arg, c))(cls_ids)
+
+    keys = jax.random.split(key, k_fg)
+
+    def per_class(mask, k2):
+        r0, c0 = proj.fixed_crop_bbox(mask, crop)
+        cloud, choose, count = proj.backproject_choose(
+            depth, mask, intr, depth_scale, r0, c0, crop, num_points, k2)
+        img_crop = proj.gather_window(image, r0, c0, crop)
+        return cloud, choose, count, normalize_imagenet(img_crop)
+
+    clouds, chooses, counts, crops = jax.vmap(per_class)(masks, keys)
+    found = found & (counts > 0)
+
+    obj_idx = jnp.arange(k_fg, dtype=jnp.int32)
+    pred_r, pred_t, pred_c, emb = posenet.apply(
+        pose_vars, crops, clouds, chooses, obj_idx)
+    quat, trans = losses.estimator_prediction(pred_r, pred_t, pred_c, clouds)
+
+    new_points = losses.rebase_points(quat, trans, clouds)
+    for _ in range(refine_iters):
+        dr, dt = refiner.apply(refine_vars, new_points, emb, obj_idx)
+        quat, trans = losses.compose_refined(dr, dt, quat, trans)
+        new_points = losses.rebase_points(quat, trans, clouds)
+
+    return {
+        "found": found,
+        "masks": masks,
+        "quats": quat,
+        "positions": trans,
+        "argmax": pred_arg,
+    }
+
+
+def build_models(num_classes_fg: int, model_points: np.ndarray,
+                 classes, seg_vars=None, pose_vars=None, refine_vars=None,
+                 num_points: int = 1000, crop: int = 320,
+                 refine_iters: int = 2, dtype=jnp.bfloat16,
+                 seed: int = 0, img_hw=(480, 640)) -> PredictionModels:
+    """Construct (or wrap loaded) model variables into a PredictionModels."""
+    seg_model = unet.UNet(classes=num_classes_fg + 1, dtype=dtype)
+    posenet = densefusion.PoseNet(num_obj=num_classes_fg, dtype=dtype)
+    refiner = densefusion.PoseRefineNet(num_obj=num_classes_fg, dtype=dtype)
+    k0, k1, k2 = jax.random.split(jax.random.PRNGKey(seed), 3)
+    if seg_vars is None:
+        seg_vars = seg_model.init(k0, jnp.zeros((1,) + img_hw + (3,)))
+    if pose_vars is None:
+        pose_vars = posenet.init(
+            k1, jnp.zeros((num_classes_fg, crop, crop, 3)),
+            jnp.zeros((num_classes_fg, num_points, 3)),
+            jnp.zeros((num_classes_fg, num_points), jnp.int32),
+            jnp.zeros((num_classes_fg,), jnp.int32))
+    if refine_vars is None:
+        refine_vars = refiner.init(
+            k2, jnp.zeros((num_classes_fg, num_points, 3)),
+            jnp.zeros((num_classes_fg, num_points, 32)),
+            jnp.zeros((num_classes_fg,), jnp.int32))
+    return PredictionModels(
+        seg_model, seg_vars, posenet, pose_vars, refiner, refine_vars,
+        tuple(classes), jnp.asarray(model_points, jnp.float32),
+        num_points, crop, refine_iters)
+
+
+def get_prediction_models(root: str, data_set_name: str,
+                          dtype=jnp.bfloat16) -> PredictionModels:
+    """Load classes, per-class model clouds (mm -> m), and trained weights —
+    parity with /root/reference/pipeline/utils.py:643-718."""
+    from ..utils import io
+    from ..train import checkpoints as ckpt
+
+    classes = io.read_lines(os.path.join(
+        io.dataset_dir(root, "segmentation", data_set_name), "classes.txt"))
+    clouds = []
+    max_m = 0
+    for cls in classes:
+        pts = io.read_xyz(os.path.join(io.pc_dir(root), cls, f"{cls}.xyz")) / 1000.0
+        clouds.append(pts)
+        max_m = max(max_m, len(pts))
+    model_points = np.zeros((len(classes), max_m, 3), np.float32)
+    for i, pts in enumerate(clouds):
+        # wrap-pad so padded rows are real surface points (ADD stays valid)
+        idx = np.arange(max_m) % max(len(pts), 1)
+        model_points[i] = pts[idx]
+
+    seg_vars = ckpt.load_checkpoint(os.path.join(
+        root, "segmentation", "trained_models", data_set_name,
+        "Unet_resnet34.ckpt.npz"))["variables"]
+    pose_dir = os.path.join(root, "DenseFusion", "trained_models", data_set_name)
+    pose_vars = ckpt.load_checkpoint(
+        os.path.join(pose_dir, "pose_model.npz"))["variables"]
+    refine_vars = ckpt.load_checkpoint(
+        os.path.join(pose_dir, "pose_refine_model.npz"))["variables"]
+    return build_models(len(classes), model_points, classes,
+                        seg_vars=seg_vars, pose_vars=pose_vars,
+                        refine_vars=refine_vars, dtype=dtype)
+
+
+def full_prediction(image: np.ndarray, depth: np.ndarray, meta: Dict,
+                    models: PredictionModels,
+                    key: Optional[jax.Array] = None) -> Dict:
+    """Host wrapper with the reference's output contract:
+    {'predictions': {cls: {'mask', 'position', 'rotation'}},
+     'elapsed_times': {'segmentation', 'pose_estimation', 'total'}}.
+
+    `image` uint8 RGB (480, 640, 3); `depth` raw units (H, W); `meta` provides
+    `intr` (Intrinsics or dict) and `depth_scale` (to meters).
+    """
+    timer = StageTimer()
+    intr = meta["intr"]
+    intr_vec = intr.as_array() if hasattr(intr, "as_array") else np.asarray(
+        [intr["fx"], intr["fy"], intr["ppx"], intr["ppy"]], np.float32)
+    if key is None:
+        key = jax.random.PRNGKey(int(time.time_ns()) % (2 ** 31))
+
+    static = (models.seg_model, models.posenet, models.refiner,
+              len(models.classes), models.num_points, models.crop,
+              models.refine_iters)
+    # the whole frame runs as one fused graph: 'segmentation' times the device
+    # execution, 'pose_estimation' the host transfer of the outputs
+    with timer.stage("segmentation"):
+        out = _full_prediction_jit(
+            models.seg_vars, models.pose_vars, models.refine_vars,
+            jnp.asarray(image), jnp.asarray(depth, jnp.float32),
+            jnp.asarray(intr_vec), jnp.float32(meta["depth_scale"]),
+            key, static)
+        found = np.asarray(out["found"])
+    with timer.stage("pose_estimation"):
+        masks = np.asarray(out["masks"])
+        quats = np.asarray(out["quats"])
+        positions = np.asarray(out["positions"])
+
+    predictions = {}
+    for i, cls in enumerate(models.classes):
+        if found[i]:
+            predictions[cls] = {
+                "mask": (masks[i].astype(np.uint8)) * 255,
+                "position": positions[i],
+                "rotation": quats[i],
+            }
+    return {"predictions": predictions, "elapsed_times": timer.total()}
+
+
+def get_robot2object(prediction: Dict, controller, end2cam: np.ndarray) -> Dict:
+    """Transform camera-frame predictions into the robot frame
+    (/root/reference/pipeline/utils.py:381-408 parity; mm/m handling included)."""
+    if not prediction["predictions"]:
+        return prediction
+    pose = controller.get_pose(return_mm=True)
+    rv = jnp.asarray([pose["a"], pose["b"], pose["c"]], jnp.float32)
+    robot2end = np.asarray(T.make_tf(
+        T.rotvec_to_mat(rv), jnp.asarray([pose["x"], pose["y"], pose["z"]])))
+    robot2cam = robot2end @ end2cam
+    for cls, p in prediction["predictions"].items():
+        cam2obj = np.asarray(T.pose_to_tf(
+            jnp.asarray(p["rotation"]), jnp.asarray(p["position"]) * 1000.0))
+        robot2obj = robot2cam @ cam2obj
+        p["position"] = robot2obj[:3, 3] / 1000.0
+        p["rotation"] = np.asarray(T.mat_to_quat(jnp.asarray(robot2obj[:3, :3])))
+    return prediction

@@ -1,0 +1,77 @@
+"""Benchmark: end-to-end fused full-prediction throughput on the real chip.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Baseline: the reference live pipeline targets the RealSense's 30 fps at
+640x480 (BASELINE.md "north star": >= 30 RGB-D fps/chip). vs_baseline is
+measured fps / 30.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from autoposeestimation_tpu.pipeline import predict
+
+    num_classes = 5          # typical multi-object scene (color_dict has 12)
+    num_points = 1000        # reference num_points (train.py:61)
+    crop = 320
+    h, w = 480, 640
+    refine_iters = 2
+
+    rng = np.random.default_rng(0)
+    model_points = rng.normal(size=(num_classes, 1000, 3)).astype(np.float32) * 0.05
+    models = predict.build_models(
+        num_classes_fg=num_classes, model_points=model_points,
+        classes=tuple(f"obj{i}" for i in range(num_classes)),
+        num_points=num_points, crop=crop, refine_iters=refine_iters,
+        dtype=jnp.bfloat16, img_hw=(h, w))
+
+    static = (models.seg_model, models.posenet, models.refiner,
+              num_classes, num_points, crop, refine_iters)
+
+    # synthetic frame with several object-like blobs so CCA/choose do real work
+    image = rng.integers(0, 255, (h, w, 3)).astype(np.uint8)
+    depth = rng.uniform(500, 1000, (h, w)).astype(np.float32)
+    depth[rng.random((h, w)) < 0.1] = 0.0
+    image_d = jax.device_put(jnp.asarray(image))
+    depth_d = jax.device_put(jnp.asarray(depth))
+    intr = jnp.asarray([600.0, 600.0, 320.0, 240.0], jnp.float32)
+    key = jax.random.PRNGKey(0)
+
+    def run(k):
+        return predict._full_prediction_jit(
+            models.seg_vars, models.pose_vars, models.refine_vars,
+            image_d, depth_d, intr, jnp.float32(0.001), k, static)
+
+    # warmup/compile
+    out = run(key)
+    jax.block_until_ready(out)
+
+    iters = 30
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = run(jax.random.fold_in(key, i))
+    jax.block_until_ready(out)
+    elapsed = time.perf_counter() - t0
+    fps = iters / elapsed
+
+    print(json.dumps({
+        "metric": "full_prediction_fps_640x480_5obj",
+        "value": round(fps, 2),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / 30.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

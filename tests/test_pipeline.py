@@ -1,0 +1,94 @@
+"""End-to-end jitted full_prediction on a synthetic scene with random-weight
+models: verifies the graph compiles, the class gating, mask extraction, and
+the output dict contract. Uses tiny image/crop sizes for CPU test speed."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from autoposeestimation_tpu.pipeline import predict
+from autoposeestimation_tpu.train import checkpoints
+from autoposeestimation_tpu.utils.io import Intrinsics
+
+
+H, W = 96, 128
+
+
+@pytest.fixture(scope="module")
+def models():
+    rng = np.random.default_rng(0)
+    model_points = rng.normal(size=(2, 60, 3)).astype(np.float32) * 0.05
+    return predict.build_models(
+        num_classes_fg=2, model_points=model_points, classes=("mug", "box"),
+        num_points=64, crop=32, refine_iters=2, dtype=jnp.float32,
+        img_hw=(H, W))
+
+
+def scene():
+    rng = np.random.default_rng(1)
+    image = rng.integers(0, 255, (H, W, 3), dtype=np.uint8)
+    depth = np.full((H, W), 800.0, np.float32)
+    meta = {"intr": Intrinsics(width=W, height=H, ppx=W / 2, ppy=H / 2,
+                               fx=120.0, fy=120.0),
+            "depth_scale": 0.001}
+    return image, depth, meta
+
+
+def test_full_prediction_contract(models):
+    image, depth, meta = scene()
+    out = predict.full_prediction(image, depth, meta, models,
+                                  key=jax.random.PRNGKey(0))
+    assert set(out.keys()) == {"predictions", "elapsed_times"}
+    for k in ("segmentation", "pose_estimation", "total"):
+        assert k in out["elapsed_times"]
+    for cls, p in out["predictions"].items():
+        assert cls in ("mug", "box")
+        assert p["mask"].shape == (H, W)
+        assert set(np.unique(p["mask"])) <= {0, 255}
+        assert p["position"].shape == (3,)
+        assert p["rotation"].shape == (4,)
+        np.testing.assert_allclose(np.linalg.norm(p["rotation"]), 1.0, atol=1e-4)
+
+
+def test_full_prediction_depth_gate(models):
+    image, depth, meta = scene()
+    depth[:] = 0.0  # no depth anywhere -> no pose for any class
+    out = predict.full_prediction(image, depth, meta, models,
+                                  key=jax.random.PRNGKey(0))
+    assert out["predictions"] == {}
+
+
+def test_full_prediction_jit_reuses_compilation(models):
+    image, depth, meta = scene()
+    predict.full_prediction(image, depth, meta, models, key=jax.random.PRNGKey(0))
+    t = predict._full_prediction_jit._cache_size()
+    predict.full_prediction(image, depth, meta, models, key=jax.random.PRNGKey(1))
+    assert predict._full_prediction_jit._cache_size() == t
+
+
+def test_get_robot2object(models):
+    class FakeController:
+        def get_pose(self, return_mm=True):
+            return {"x": 100.0, "y": 0.0, "z": 50.0, "a": 0.0, "b": 0.0, "c": 0.0}
+
+    prediction = {"predictions": {"mug": {
+        "mask": np.zeros((H, W), np.uint8),
+        "position": np.asarray([0.0, 0.0, 0.5]),
+        "rotation": np.asarray([1.0, 0.0, 0.0, 0.0]),
+    }}}
+    end2cam = np.eye(4)
+    out = predict.get_robot2object(prediction, FakeController(), end2cam)
+    np.testing.assert_allclose(out["predictions"]["mug"]["position"],
+                               [0.1, 0.0, 0.55], atol=1e-6)
+
+
+def test_checkpoint_roundtrip(tmp_path, models):
+    path = str(tmp_path / "seg.ckpt")
+    checkpoints.save_checkpoint(path, models.seg_vars, meta={"epoch": 3})
+    back = checkpoints.load_checkpoint(path, like_variables=models.seg_vars)
+    assert back["meta"]["epoch"] == 3
+    leaves_a = jax.tree_util.tree_leaves(models.seg_vars)
+    leaves_b = jax.tree_util.tree_leaves(back["variables"])
+    assert len(leaves_a) == len(leaves_b)
+    for a, b in zip(leaves_a, leaves_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
