@@ -1,0 +1,211 @@
+"""DenseFusion pose dataset over the on-disk contract.
+
+Parity with /root/reference/DenseFusion/datasets/myDatasetAugmented/dataset.py
+(the variant the live trainer uses), with the TPU batching change: instead of
+the reference's variable 40-px-quantized bbox crops (which force bs=1), every
+sample is cropped through a *static* `crop`-sized window centered on the mask
+bbox — one compiled shape for the whole dataset.
+
+Features preserved:
+  * p_viewpoints viewpoint subsampling + extra-sample mixing filtered by the
+    selected viewpoints (dataset.py:57-96),
+  * per-class .xyz model clouds (mm->m) + symmetric flags from meta
+    (dataset.py:102-141),
+  * train-time augmentation: ColorJitter(0.2,0.2,0.2,0.05), in-plane rotation
+    of img/label/depth with the matching cam2robot correction
+    cam2robot = inv(Rz)) @ cam2robot (dataset.py:204-221), +-noise_trans
+    translation noise on cloud+target,
+  * mask&depth choose of num_pt pixels with shuffle-subsample / wrap-pad,
+  * per-sample intrinsics backprojection to meters.
+"""
+from __future__ import annotations
+
+import os
+import random
+from typing import Dict, List, Optional
+
+import numpy as np
+from PIL import Image
+
+from ..models.common import IMAGENET_MEAN, IMAGENET_STD
+from ..utils import io
+
+
+class PoseDataset:
+    def __init__(self, root: str, data_set_name: str, mode: str = "train",
+                 num_pt: int = 1000, add_noise: bool = True,
+                 noise_trans: float = 0.03, label_mode: str = "new_pred",
+                 p_extra_data: float = 0.0, p_viewpoints: float = 1.0,
+                 num_pt_mesh: int = 1000, crop: int = 320, seed: int = 0):
+        ds_dir = io.dataset_dir(root, "pose_estimation", data_set_name)
+        self.mode = mode
+        self.num_pt = num_pt
+        self.num_pt_mesh = num_pt_mesh
+        self.add_noise = add_noise and mode == "train"
+        self.noise_trans = noise_trans
+        self.label_mode = label_mode
+        self.crop = crop
+        self.data_root = io.data_dir(root)
+        self.label_root = io.label_dir(root)
+        self.rng = random.Random(seed)
+        self.np_rng = np.random.default_rng(seed)
+
+        list_name = ("train_data_list.txt" if mode == "train"
+                     else "test_data_list.txt")
+        self.items: List[str] = io.read_lines(os.path.join(ds_dir, list_name))
+
+        self.extra_items: List[str] = []
+        self.n_extra_samples = 0
+        if mode == "train":
+            # viewpoint subsampling (dataset.py:57-72): viewpoint ids are the
+            # 6-digit stems of the first run
+            if p_viewpoints < 1.0 and self.items:
+                first_run = "/".join(self.items[0].split("/")[:2])
+                vp_ids = [s[-6:] for s in self.items
+                          if s.startswith(first_run)]
+                self.np_rng.shuffle(vp_ids)
+                keep = set(vp_ids[: int(len(vp_ids) * p_viewpoints)])
+                self.items = [s for s in self.items if s[-6:] in keep]
+            else:
+                keep = {s[-6:] for s in self.items}
+            extra_path = os.path.join(ds_dir, "extra_train_data_list.txt")
+            if p_extra_data > 0 and os.path.exists(extra_path):
+                keep_ids = {int(v) for v in keep}
+                for stem in io.read_lines(extra_path):
+                    meta = io.read_sample_meta(os.path.join(
+                        self.data_root, stem + ".meta.json"))
+                    if meta["view_point_id"] in keep_ids:
+                        self.extra_items.append(stem)
+                self.n_extra_samples = int(len(self.items) * p_extra_data)
+
+        self.classes = io.read_lines(os.path.join(ds_dir, "classes.txt"))
+        self.cld: Dict[int, np.ndarray] = {}
+        self.symmetry_obj_idx: List[int] = []
+        for cid, cls in enumerate(self.classes):
+            pts = io.read_xyz(os.path.join(io.pc_dir(root), cls,
+                                           cls + ".xyz")) / 1000.0
+            self.cld[cid] = pts.astype(np.float32)
+            obj_dir = os.path.join(self.data_root, cls)
+            run = sorted(os.listdir(obj_dir))[0]
+            run_dir = os.path.join(obj_dir, run)
+            metas = sorted(f for f in os.listdir(run_dir)
+                           if f.endswith(".meta.json"))
+            meta = io.read_sample_meta(os.path.join(run_dir, metas[0]))
+            if bool(meta.get("symmetric", 0)):
+                self.symmetry_obj_idx.append(cid)
+
+    def get_sym_list(self) -> List[int]:
+        return self.symmetry_obj_idx
+
+    def __len__(self) -> int:
+        return len(self.items) + self.n_extra_samples
+
+    def _load(self, stem: str, label_mode: str):
+        img = Image.open(os.path.join(
+            self.data_root, stem + ".color.png")).convert("RGB")
+        depth = Image.open(os.path.join(self.data_root, stem + ".depth.png"))
+        image_meta = io.read_sample_meta(os.path.join(
+            self.data_root, stem + ".meta.json"))
+        label = Image.open(os.path.join(
+            self.label_root, f"{stem}.{label_mode}.label.png"))
+        meta = io.read_pose_label_meta(os.path.join(
+            self.label_root, stem + ".meta.json"))
+        return img, depth, label, image_meta, meta
+
+    def __getitem__(self, index: int) -> Optional[Dict[str, np.ndarray]]:
+        if index < len(self.items):
+            stem = self.items[index]
+            label_mode = self.label_mode
+        else:
+            stem = self.extra_items[self.rng.randrange(len(self.extra_items))]
+            label_mode = "new_pred"
+        img, depth, label, image_meta, meta = self._load(stem, label_mode)
+        intr = image_meta["intr"]
+        obj = self.classes.index(meta["cls_name"])
+
+        augment_rotation = np.eye(4)
+        if self.add_noise:
+            from . import augment as aug
+
+            img = aug.color_jitter(img, rng=self.rng)
+            angle = self.rng.uniform(-180.0, 180.0)
+            augment_rotation[:3, :3] = _rot_z(np.deg2rad(angle))
+            img, label, depth = aug.rotate_joint(angle, img, label, depth)
+
+        cam2robot = meta["cam2robot"]
+        if self.add_noise:
+            cam2robot = np.linalg.inv(augment_rotation) @ cam2robot
+        cam2object = cam2robot @ meta["robot2object"]
+        target_r = cam2object[:3, :3]
+        target_t = cam2object[:3, 3] / 1000.0  # to meters
+
+        img_np = np.asarray(img, np.uint8)
+        label_np = np.asarray(label, np.uint8)
+        depth_np = np.asarray(depth, np.float32)
+
+        mask = (label_np == 255) & (depth_np != 0)
+        if not mask.any():
+            return None
+        rows = np.any(label_np == 255, axis=1)
+        cols = np.any(label_np == 255, axis=0)
+        rc = (np.where(rows)[0][[0, -1]].sum() + 1) // 2
+        cc = (np.where(cols)[0][[0, -1]].sum() + 1) // 2
+        h, w = label_np.shape
+        crop = self.crop
+        r0 = int(np.clip(rc - crop // 2, 0, h - crop))
+        c0 = int(np.clip(cc - crop // 2, 0, w - crop))
+
+        win_mask = mask[r0:r0 + crop, c0:c0 + crop]
+        choose = win_mask.flatten().nonzero()[0]
+        if len(choose) == 0:
+            return None
+        if len(choose) > self.num_pt:
+            sel = np.zeros(len(choose), dtype=int)
+            sel[: self.num_pt] = 1
+            self.np_rng.shuffle(sel)
+            choose = choose[sel.nonzero()]
+        else:
+            choose = np.pad(choose, (0, self.num_pt - len(choose)), "wrap")
+
+        drow = r0 + choose // crop
+        dcol = c0 + choose % crop
+        z = depth_np[drow, dcol] * image_meta["depth_scale"]
+        x = (dcol - intr.ppx) * z / intr.fx
+        y = (drow - intr.ppy) * z / intr.fy
+        cloud = np.stack([x, y, z], axis=1).astype(np.float32)
+
+        if self.add_noise:
+            add_t = self.np_rng.uniform(-self.noise_trans, self.noise_trans, 3)
+            cloud = cloud + add_t
+
+        model = self.cld[obj]
+        if len(model) > self.num_pt_mesh:
+            dell = self.np_rng.choice(len(model), len(model) - self.num_pt_mesh,
+                                      replace=False)
+            model = np.delete(model, dell, axis=0)
+        elif len(model) < self.num_pt_mesh:
+            idx2 = np.arange(self.num_pt_mesh) % len(model)
+            model = model[idx2]
+
+        target = model @ target_r.T + target_t
+        if self.add_noise:
+            target = target + add_t
+
+        img_crop = img_np[r0:r0 + crop, c0:c0 + crop].astype(np.float32) / 255.0
+        img_crop = (img_crop - np.asarray(IMAGENET_MEAN)) / np.asarray(
+            IMAGENET_STD)
+
+        return {
+            "img": img_crop.astype(np.float32),
+            "cloud": cloud.astype(np.float32),
+            "choose": choose.astype(np.int32),
+            "target": target.astype(np.float32),
+            "model_points": model.astype(np.float32),
+            "obj_idx": np.int32(obj),
+            "is_sym": np.bool_(obj in self.symmetry_obj_idx),
+        }
+
+
+def _rot_z(angle: float) -> np.ndarray:
+    c, s = np.cos(angle), np.sin(angle)
+    return np.asarray([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])

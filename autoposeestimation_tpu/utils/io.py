@@ -155,10 +155,7 @@ def read_label(path: str) -> np.ndarray:
 
 def write_png(path: str, array: np.ndarray) -> None:
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    if array.dtype == np.uint16:
-        Image.fromarray(array, mode="I;16").save(path)
-    else:
-        Image.fromarray(array).save(path)
+    Image.fromarray(array).save(path)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,98 @@
+"""Training loops: segmentation (incl. BS variant) and DenseFusion two-phase
+trainer smoke + behavior tests on the synthetic dataset. Tiny configs for CPU."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from autoposeestimation_tpu.data import (bs_dataset, loader, pose_dataset,
+                                         segmentation_dataset)
+from autoposeestimation_tpu.train import (checkpoints, densefusion as dft,
+                                          segmentation as seg)
+from autoposeestimation_tpu.utils import synthetic
+
+
+@pytest.fixture(scope="module")
+def synth_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("synthtrain"))
+    synthetic.make_dataset(root)
+    return root
+
+
+def test_segmentation_training_improves_and_checkpoints(synth_root, tmp_path):
+    train_ds = segmentation_dataset.SegmentationDataset(
+        synth_root, "synth", mode="train", output_size=64)
+    valid_ds = segmentation_dataset.SegmentationDataset(
+        synth_root, "synth", mode="test")
+    cfg = seg.SegConfig(classes=3, epochs=3, batch_size=2, lr=3e-3)
+    out = seg.segmentation_training(
+        lambda: loader.Loader(train_ds, 2, seed=0),
+        lambda: loader.Loader(valid_ds, 2, shuffle=False, drop_last=False),
+        cfg, out_dir=str(tmp_path), dtype=jnp.float32,
+        sample_shape=(64, 64))
+    losses_curve = out["log"]["curves"]["train_loss"]
+    assert losses_curve[-1] < losses_curve[0]
+    assert os.path.exists(str(tmp_path / "Unet_resnet34.ckpt.npz"))
+    assert os.path.exists(str(tmp_path / "logs.json"))
+    assert out["best_iou"] >= 0.0
+
+
+def test_bs_training_smoke(synth_root, tmp_path):
+    train_ds = bs_dataset.BSDataset(synth_root, mode="train",
+                                    samples_per_class=6)
+    valid_ds = bs_dataset.BSDataset(synth_root, mode="test",
+                                    samples_per_class=4)
+    cfg = seg.SegConfig(classes=2, in_channels=7, epochs=2, batch_size=2,
+                        lr=1e-2, optimizer="sgd")
+    plateau = seg.ReduceLROnPlateau(cfg.lr, patience=5)
+    out = seg.segmentation_training(
+        lambda: loader.Loader(train_ds, 2, seed=0),
+        lambda: loader.Loader(valid_ds, 2, shuffle=False, drop_last=False),
+        cfg, out_dir=str(tmp_path), ckpt_name="Unet_resnet34.ckpt",
+        plateau=plateau, with_cca_metric=True, dtype=jnp.float32,
+        sample_shape=(128, 160))
+    assert "valid_iou_cca" in out["log"]["curves"]
+    rand_iou = seg.random_prediction_iou(
+        lambda: loader.Loader(valid_ds, 2, shuffle=False, drop_last=False), 2)
+    assert 0.0 <= rand_iou <= 1.0
+
+
+def test_densefusion_trainer_two_phase(synth_root, tmp_path):
+    cfg = dft.DFConfig(batch_size=2, num_points=100, num_points_mesh=120,
+                       nepoch=3, refine_epoch_margin=2, start_epoch=1,
+                       lr=1e-4)
+    state = dft.create_trainer(num_obj=2, cfg=cfg, crop=64, dtype=jnp.float32)
+
+    train_ds = pose_dataset.PoseDataset(
+        synth_root, "synth", mode="train", num_pt=100, num_pt_mesh=120,
+        crop=64, add_noise=False)
+    test_ds = pose_dataset.PoseDataset(
+        synth_root, "synth", mode="test", num_pt=100, num_pt_mesh=120,
+        crop=64)
+    state = dft.train(
+        state,
+        lambda: loader.Loader(train_ds, 2, seed=0),
+        lambda: loader.Loader(test_ds, 2, shuffle=False, drop_last=False),
+        out_dir=str(tmp_path), epochs=4)
+    # epoch >= refine_epoch_margin must have flipped the phase
+    assert state.refine_start
+    assert os.path.exists(str(tmp_path / "pose_model.npz"))
+    assert os.path.exists(str(tmp_path / "losses.json"))
+    assert state.best_test < np.inf
+
+
+def test_densefusion_decay_transition():
+    cfg = dft.DFConfig(num_points=16, num_points_mesh=16)
+    state = dft.create_trainer(num_obj=1, cfg=cfg, crop=16, dtype=jnp.float32)
+    state.best_test = 0.015  # < decay_margin but > refine_margin
+    lr0 = state.lr
+    state.maybe_transition(epoch=1)
+    assert state.decay_start and not state.refine_start
+    assert state.lr == pytest.approx(lr0 * cfg.lr_rate)
+    assert state.w == pytest.approx(cfg.w * cfg.w_rate)
+    state.best_test = 0.009
+    state.maybe_transition(epoch=2)
+    assert state.refine_start
+    assert state.refine_opt_state is not None
