@@ -164,6 +164,18 @@ def estimate_normals(points, valid, k: int = 30):
     return vecs[:, :, 0]
 
 
+def pad_bucket(points, min_size: int = 1024):
+    """Host helper: pad to the next power-of-two bucket >= min_size so chains
+    of cloud ops hit a bounded set of compiled shapes."""
+    import numpy as np
+
+    n = max(len(points), 1)
+    size = min_size
+    while size < n:
+        size *= 2
+    return pad_cloud(np.asarray(points, np.float32), size)
+
+
 def pad_cloud(points, size: int):
     """Host helper: pad an (K, 3) array to (size, 3) + validity mask."""
     import numpy as np

@@ -1,0 +1,269 @@
+"""Multi-view object point-cloud reconstruction.
+
+TPU rebuild of /root/reference/pc_reconstruction/create_pointcloud.py: the
+per-pixel Python backprojection loop of `get_surface` (open3d_utils.py:179-192)
+becomes a jitted masked-backprojection + the cloud-op chain (voxel downsample,
+radius + statistical outlier removal) on device; ICP merging uses ops/icp.
+Host code only orchestrates file IO and the variable-size -> padded-bucket
+conversion.
+
+Pipeline per object (load_point_cloud):
+  per run: select n_viewpoints by viewpoint voxel search (get_view_distribution
+  parity incl. the greedy nearest-neighbor ordering), backproject+clean each
+  view's surface, incrementally ICP-merge + voxel downsample; rotate the merged
+  run cloud by its object_pose rotation about its center; across runs
+  align_point_clouds (y-nudge + ICP + outlier removal); write <run>.ply/.pcd,
+  <obj>_out.ply, <obj>.ply (AABB-centered, voxel_size_out) and <obj>.xyz
+  (downsampled below 1000 points by voxel-size search).
+All geometry in robot-frame mm, matching the on-disk contract.
+"""
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import icp as icp_ops
+from ..ops import pointcloud as pc
+from ..ops import projection as proj
+from ..utils import io
+
+
+def _np_voxel_count(points: np.ndarray, voxel: float) -> int:
+    lo = points.min(axis=0)
+    ijk = np.floor((points - lo) / voxel).astype(np.int64)
+    return len(np.unique(ijk, axis=0))
+
+
+def _np_voxel_centroids(points: np.ndarray, voxel: float) -> np.ndarray:
+    lo = points.min(axis=0)
+    ijk = np.floor((points - lo) / voxel).astype(np.int64)
+    _, inv = np.unique(ijk, axis=0, return_inverse=True)
+    k = inv.max() + 1
+    sums = np.zeros((k, 3))
+    counts = np.zeros(k)
+    np.add.at(sums, inv, points)
+    np.add.at(counts, inv, 1)
+    return sums / counts[:, None]
+
+
+def get_view_distribution(data_path: str, run: str, n: int, n_viewpoints: int,
+                          rng: Optional[np.random.Generator] = None
+                          ) -> np.ndarray:
+    """Select n_viewpoints sample indices whose camera positions cover the
+    view sphere (create_pointcloud.py:46-174 parity): voxel-downsample the
+    camera-position set searching the voxel size that yields exactly
+    n_viewpoints, map back to nearest originals, then greedy nearest-neighbor
+    ordering starting from the min-norm position."""
+    rng = rng or np.random.default_rng(0)
+    points = []
+    for idx in range(n):
+        meta = io.read_sample_meta(
+            os.path.join(data_path, run, f"{idx:06d}.meta.json"))
+        points.append(io.robot2cam_from_meta(meta)[:3, 3])
+    points = np.asarray(points)
+    if n <= n_viewpoints:
+        order = [int(np.argmin(np.linalg.norm(points, axis=1)))]
+        while len(order) < n:
+            last = points[order[-1]]
+            rest = [j for j in range(n) if j not in order]
+            order.append(min(rest, key=lambda j: np.linalg.norm(
+                points[j] - last)))
+        return np.asarray(order)
+
+    # initial voxel = min pairwise distance (int), then +-1 search
+    d2 = np.linalg.norm(points[:, None] - points[None, :], axis=-1)
+    np.fill_diagonal(d2, np.inf)
+    voxel = max(int(d2.min()), 1)
+    while True:
+        k = _np_voxel_count(points, voxel)
+        if k == n_viewpoints:
+            selected = _np_voxel_centroids(points, voxel)
+            break
+        if k < n_viewpoints:
+            voxel -= 1
+            if voxel <= 0:
+                selected = points[rng.choice(n, n_viewpoints, replace=False)]
+                break
+            cents = _np_voxel_centroids(points, voxel)
+            pick = rng.choice(len(cents), size=n_viewpoints, replace=False)
+            selected = cents[pick]
+            break
+        voxel += 1
+
+    selection = [int(np.argmin(np.linalg.norm(points - p, axis=1)))
+                 for p in selected]
+    sel_points = points[selection]
+    order = [int(np.argmin(np.linalg.norm(sel_points, axis=1)))]
+    while len(order) < n_viewpoints:
+        last = sel_points[order[-1]]
+        rest = [j for j in range(n_viewpoints) if j not in order]
+        order.append(min(rest, key=lambda j: np.linalg.norm(
+            sel_points[j] - last)))
+    return np.asarray(selection)[order]
+
+
+def get_surface(label: np.ndarray, depth: np.ndarray, intr, robot2cam,
+                min_friends: int, min_dist: float, nb_neighbors: int,
+                voxel_size: float) -> np.ndarray:
+    """Masked backprojection to robot frame + voxel downsample + radius and
+    statistical outlier removal (open3d_utils.py:171-213) — the reference's
+    per-pixel Python loop, vectorized and run on device."""
+    mask = (label != 0) & (depth != 0)
+    ys, xs = np.nonzero(mask)
+    if len(ys) == 0:
+        return np.zeros((0, 3))
+    z = depth[ys, xs].astype(np.float32)
+    intr_vec = intr.as_array() if hasattr(intr, "as_array") else np.asarray(
+        [intr["fx"], intr["fy"], intr["ppx"], intr["ppy"]], np.float32)
+    cam = np.asarray(proj.pixels_to_points(
+        jnp.asarray(ys), jnp.asarray(xs), jnp.asarray(z),
+        jnp.asarray(intr_vec)))
+    robot = cam @ np.asarray(robot2cam)[:3, :3].T + np.asarray(robot2cam)[:3, 3]
+
+    pts, valid = pc.pad_bucket(robot)
+    pts = jnp.asarray(pts)
+    valid = jnp.asarray(valid)
+    pts, valid = pc.voxel_downsample(pts, valid, voxel_size)
+    valid = pc.remove_radius_outliers(pts, valid, min_friends, min_dist)
+    maha = pc.mahalanobis(pts, valid)
+    std_ratio = float(jnp.std(jnp.where(valid, maha, 0.0)))
+    valid = pc.remove_statistical_outliers(pts, valid, nb_neighbors,
+                                           max(std_ratio, 1e-6))
+    return pc.compact(pts, valid)
+
+
+def _icp_merge(target_np: np.ndarray, source_np: np.ndarray,
+               voxel_size: float, threshold: float,
+               icp_point2point: bool = True,
+               icp_point2plane: bool = False) -> np.ndarray:
+    """icp_regression + merge (downsampled clouds, reference semantics:
+    registration runs on the voxel-downsampled clouds and the merged cloud is
+    built from them)."""
+    size = max(len(target_np), len(source_np))
+    t, tv = pc.pad_bucket(target_np, min_size=max(1024, size))
+    s, sv = pc.pad_bucket(source_np, min_size=max(1024, size))
+    tgt, tvalid, src, svalid, tf = icp_ops.icp_regression(
+        jnp.asarray(t), jnp.asarray(tv), jnp.asarray(s), jnp.asarray(sv),
+        voxel_size=voxel_size, threshold=threshold,
+        icp_point2point=icp_point2point, icp_point2plane=icp_point2plane)
+    tf = np.asarray(tf)
+    src_np = pc.compact(src, svalid)
+    tgt_np = pc.compact(tgt, tvalid)
+    moved = src_np @ tf[:3, :3].T + tf[:3, 3]
+    merged = np.concatenate([moved, tgt_np])
+    mp, mv = pc.pad_bucket(merged)
+    mp, mv = pc.voxel_downsample(jnp.asarray(mp), jnp.asarray(mv), voxel_size)
+    return pc.compact(mp, mv)
+
+
+def align_point_clouds(clouds: List[np.ndarray], min_friends: int,
+                       min_dist: float, nb_neighbors: int,
+                       voxel_size: float = 5.0,
+                       threshold: float = 50.0) -> np.ndarray:
+    """Cross-run alignment (open3d_utils.py:125-168): y-offset nudge, p2p ICP,
+    merge, voxel downsample, radius + statistical outlier removal."""
+    target = clouds[0]
+    for source in clouds[1:]:
+        diff = source.mean(axis=0) - target.mean(axis=0)
+        if diff[1] > -30:
+            source = source + np.asarray([0.0, -30.0 - diff[1], 0.0])
+        target = _icp_merge(target, source, voxel_size, threshold)
+        tp, tv = pc.pad_bucket(target)
+        tp = jnp.asarray(tp)
+        tv = jnp.asarray(tv)
+        tv = pc.remove_radius_outliers(tp, tv, min_friends, min_dist)
+        maha = pc.mahalanobis(tp, tv)
+        std_ratio = float(jnp.std(jnp.where(tv, maha, 0.0)))
+        tv = pc.remove_statistical_outliers(tp, tv, nb_neighbors,
+                                            max(std_ratio, 1e-6))
+        target = pc.compact(tp, tv)
+    return target
+
+
+def load_point_cloud(object_name: str, save_dir: str, root: str,
+                     reference_point=np.zeros(3), mode: str = "gen",
+                     n_viewpoints: int = 10, min_friends: int = 10,
+                     voxel_size: float = 5.0, voxel_size_out: float = 10.0,
+                     threshold: float = 50.0, min_dist: float = 10.0,
+                     nb_neighbors: int = 5, global_regression: bool = False,
+                     icp_point2point: bool = True,
+                     icp_point2plane: bool = True,
+                     progress=None) -> np.ndarray:
+    """Reconstruct one object from its labeled runs; writes all artifacts.
+    Returns the final centered cloud (mm)."""
+    label_root = os.path.join(io.label_dir(root), object_name)
+    runs = [d for d in sorted(os.listdir(label_root)) if d != "extra"]
+    if not runs:
+        raise ValueError("no labels obtained yet")
+    data_path = os.path.join(io.data_dir(root), object_name)
+    pcd_path = os.path.join(save_dir, object_name)
+    os.makedirs(pcd_path, exist_ok=True)
+
+    run_clouds: List[np.ndarray] = []
+    for run in runs:
+        labels = [f for f in os.listdir(os.path.join(label_root, run))
+                  if f.endswith(f".{mode}.label.png")]
+        n = len(labels)
+        take = min(n_viewpoints, n)
+        idx_selection = get_view_distribution(data_path, run, n, take)
+
+        merged: Optional[np.ndarray] = None
+        rotation = np.eye(3)
+        for idx in idx_selection:
+            meta = io.read_sample_meta(
+                os.path.join(data_path, run, f"{idx:06d}.meta.json"))
+            robot2cam = io.robot2cam_from_meta(meta)
+            rotation = np.asarray(meta["object_pose"])[:3, :3]
+            depth = io.read_depth(os.path.join(
+                data_path, run, f"{idx:06d}.depth.png")).astype(np.float64)
+            label = io.read_label(os.path.join(
+                label_root, run, f"{idx:06d}.{mode}.label.png"))
+            source = get_surface(label, depth, meta["intr"], robot2cam,
+                                 min_friends, min_dist, nb_neighbors,
+                                 voxel_size)
+            if len(source) == 0:
+                continue
+            if merged is None:
+                merged = source
+            else:
+                merged = _icp_merge(merged, source, voxel_size, threshold,
+                                    icp_point2point, icp_point2plane)
+            if progress is not None:
+                progress(run, int(idx), len(merged))
+
+        if merged is None:
+            continue
+        # rotate the run cloud by its object_pose rotation about its center
+        # (Open3D rotate(center=True), create_pointcloud.py:320)
+        center = merged.mean(axis=0)
+        merged = (merged - center) @ rotation.T + center
+        io.write_ply(os.path.join(pcd_path, f"{run}.ply"), merged)
+        io.write_pcd(os.path.join(pcd_path, f"{run}.pcd"), merged)
+        run_clouds.append(merged)
+
+    cloud = align_point_clouds(run_clouds, min_friends, min_dist,
+                               nb_neighbors, voxel_size, threshold)
+    io.write_ply(os.path.join(pcd_path, f"{object_name}_out.ply"), cloud)
+    io.write_pcd(os.path.join(pcd_path, f"{object_name}_out.pcd"), cloud)
+
+    # centered cloud at voxel_size_out
+    cp, cv = pc.pad_bucket(cloud)
+    center = np.asarray(pc.aabb_center(jnp.asarray(cp), jnp.asarray(cv)))
+    dp, dv = pc.voxel_downsample(jnp.asarray(cp), jnp.asarray(cv),
+                                 voxel_size_out)
+    down = pc.compact(dp, dv) - center
+    io.write_ply(os.path.join(pcd_path, f"{object_name}.ply"), down)
+    io.write_pcd(os.path.join(pcd_path, f"{object_name}.pcd"), down)
+
+    # .xyz: voxel-size search until < 1000 points (create_pointcloud.py:365-376)
+    big = cloud - center
+    vs = voxel_size
+    out = big
+    while len(out) >= 1000:
+        vs += 0.1
+        out = _np_voxel_centroids(big, vs)
+    io.write_xyz(os.path.join(pcd_path, f"{object_name}.xyz"), out)
+    return down

@@ -25,11 +25,25 @@ from . import io
 
 @dataclass
 class SphereObject:
+    """A sphere, optionally with extra sphere 'parts' (offset, radius) glued
+    on — compound shapes break the rotational symmetry so ICP-based
+    reconstruction is well-posed (a perfect sphere is degenerate for ICP)."""
+
     name: str
     center: np.ndarray          # robot frame, mm
     radius: float               # mm
     color: Tuple[int, int, int]
-    symmetric: int = 1          # spheres are symmetric
+    symmetric: int = 1
+    parts: Tuple = ()           # extra (offset_xyz, radius) spheres
+
+
+def object_spheres(obj: "SphereObject"):
+    """(center, radius) list for the object's main sphere + parts."""
+    out = [(np.asarray(obj.center, float), obj.radius)]
+    for off, rad in obj.parts:
+        out.append((np.asarray(obj.center, float) + np.asarray(off, float),
+                    rad))
+    return out
 
 
 @dataclass
@@ -97,10 +111,14 @@ def render(cfg: SynthConfig, robot2cam: np.ndarray,
     color[:] = cfg.table_color
     owner = np.full((h, w), -1, np.int32)
 
+    sphere_list = []
     for si, sp in enumerate(spheres):
-        c_cam = rot_rc @ (sp.center - robot2cam[:3, 3])
+        for c, r in object_spheres(sp):
+            sphere_list.append((si, c, r, sp.color))
+    for si, c_robot, radius, col in sphere_list:
+        c_cam = rot_rc @ (c_robot - robot2cam[:3, 3])
         b = d @ c_cam
-        cc = c_cam @ c_cam - sp.radius ** 2
+        cc = c_cam @ c_cam - radius ** 2
         disc = b * b - (d * d).sum(-1) * cc
         t_sp = np.where(disc >= 0,
                         (b - np.sqrt(np.maximum(disc, 0.0))) / (d * d).sum(-1),
@@ -109,7 +127,7 @@ def render(cfg: SynthConfig, robot2cam: np.ndarray,
         hit = t_sp < depth_t
         depth_t = np.where(hit, t_sp, depth_t)
         owner = np.where(hit, si, owner)
-        color[hit] = sp.color
+        color[hit] = col
 
     zdepth = depth_t * d[..., 2]  # z-depth == t since d_z == 1
     zdepth = np.where(np.isfinite(zdepth), zdepth, 0.0)
@@ -198,7 +216,10 @@ def make_dataset(root: str, objects: Sequence[SphereObject] = None,
                         robot2object=robot2object)
 
         # model cloud (.xyz, mm, centered) + .ply in robot frame
-        model = sphere_model_points(obj.radius, 500)
+        model_parts = []
+        for c, r in object_spheres(obj):
+            model_parts.append(sphere_model_points(r, 500) + (c - obj.center))
+        model = np.concatenate(model_parts)[:1000]
         io.write_xyz(os.path.join(io.pc_dir(root), obj.name,
                                   obj.name + ".xyz"), model)
         io.write_ply(os.path.join(io.pc_dir(root), obj.name,

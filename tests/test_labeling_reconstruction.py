@@ -1,0 +1,125 @@
+"""Label generation + multi-view reconstruction + pose-label fitting on the
+synthetic scene (exact ground truth available)."""
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from autoposeestimation_tpu.labeling import (create_labels as cl,
+                                             make_dataset, pose_labels)
+from autoposeestimation_tpu.reconstruction import create_pointcloud as rec
+from autoposeestimation_tpu.utils import io, synthetic
+
+
+@pytest.fixture(scope="module")
+def synth_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("synthlab"))
+    # a bump breaks rotational symmetry so ICP reconstruction is well-posed
+    synthetic.make_dataset(root, objects=[
+        synthetic.SphereObject("ball", np.asarray([30.0, 10.0, 40.0]), 40.0,
+                               (210, 50, 50),
+                               parts=(((25.0, 25.0, 25.0), 18.0),)),
+    ])
+    return root
+
+
+def test_classical_label_generation(synth_root):
+    n = cl.create_labels("ball", synth_root,
+                         reference_point=np.zeros(3))
+    assert n == 12
+    # compare against the exact GT mask
+    gt = io.read_label(os.path.join(io.label_dir(synth_root), "ball",
+                                    "foreground", "000000.pred.label.png"))
+    gen = io.read_label(os.path.join(io.label_dir(synth_root), "ball",
+                                     "foreground", "000000.gen.label.png"))
+    inter = ((gt > 0) & (gen > 0)).sum()
+    union = ((gt > 0) | (gen > 0)).sum()
+    assert inter / max(union, 1) > 0.6, inter / max(union, 1)
+
+
+def test_view_distribution_selects_spread_viewpoints(synth_root):
+    data_path = os.path.join(io.data_dir(synth_root), "ball")
+    sel = rec.get_view_distribution(data_path, "foreground", 12, 6)
+    assert len(sel) == 6
+    assert len(set(sel.tolist())) == 6
+
+
+def test_reconstruction_recovers_sphere(synth_root):
+    cloud = rec.load_point_cloud(
+        "ball", io.pc_dir(synth_root), synth_root, mode="gen",
+        n_viewpoints=12, min_friends=5, min_dist=8, nb_neighbors=10,
+        threshold=10, voxel_size=3, voxel_size_out=6,
+        icp_point2plane=False)
+    # centered cloud: points should lie near radius 40 from origin
+    d = np.linalg.norm(cloud, axis=1)
+    assert len(cloud) > 50
+    assert abs(np.median(d) - 40.0) < 6.0, np.median(d)
+    # artifacts written
+    pdir = os.path.join(io.pc_dir(synth_root), "ball")
+    for fn in ("ball_out.ply", "ball.ply", "ball.xyz", "foreground.ply"):
+        assert os.path.exists(os.path.join(pdir, fn)), fn
+    xyz = io.read_xyz(os.path.join(pdir, "ball.xyz"))
+    assert len(xyz) < 1000
+
+
+def test_pose_label_fitting(synth_root):
+    n = pose_labels.create_pose_label(synth_root, "ball")
+    assert n == 12
+    meta = io.read_pose_label_meta(os.path.join(
+        io.label_dir(synth_root), "ball", "foreground", "000003.meta.json"))
+    # robot2object position approximates the true center (30, 10, 40); the
+    # ring of views only sees the upper hemisphere, so the AABB z-midpoint is
+    # biased upward (as in the reference without turned runs) — x/y tight,
+    # z loose
+    np.testing.assert_allclose(meta["robot2object"][:2, 3],
+                               [30.0, 10.0], atol=8.0)
+    assert 30.0 < meta["robot2object"][2, 3] < 70.0
+    # cam2object consistency: predicted camera-frame position must match
+    # transforming the robot-frame center through the sample's cam2robot
+    sample_meta = io.read_sample_meta(os.path.join(
+        io.data_dir(synth_root), "ball", "foreground", "000003.meta.json"))
+    cam2robot = np.linalg.inv(io.robot2cam_from_meta(sample_meta))
+    want = cam2robot @ np.append(meta["robot2object"][:3, 3], 1.0)
+    np.testing.assert_allclose(meta["position"], want[:3], atol=1e-6)
+
+
+def test_new_pred_labels_with_trained_stub(synth_root):
+    """Phase A with a 'model' that predicts the GT class from color: use a
+    tiny closure-based fake flax module to exercise the trust checks."""
+    import flax.linen as nn
+
+    class OracleSeg(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            # red channel dominant -> class 1 logits
+            r = x[..., 0] - (x[..., 1] + x[..., 2]) / 2
+            bg = jnp.ones_like(r) * 0.5
+            return jnp.stack([bg, r * 5.0], axis=-1)
+
+    import jax
+
+    model = OracleSeg()
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)))
+    stats = cl.create_new_pred_labels(
+        synth_root, ["ball"], model, variables,
+        reference_point=np.zeros(3))
+    assert stats["n_samples"] + stats["bs_copied"] + \
+        stats["no_depth_overlap"] + stats["not_in_center"] >= 12
+    # at least some samples produced labels
+    lab_dir = os.path.join(io.label_dir(synth_root), "ball", "foreground")
+    n_new = len([f for f in os.listdir(lab_dir)
+                 if f.endswith(".new_pred.label.png")])
+    assert n_new > 0
+
+
+def test_make_dataset_split(synth_root):
+    out = make_dataset.make_train_and_test_dataset(
+        synth_root, ["ball"], "segmentation", "labtest", p_test=0.25,
+        mode="gen")
+    assert out["test"] == 3 and out["train"] == 9
+    ds = io.dataset_dir(synth_root, "segmentation", "labtest")
+    train = io.read_lines(os.path.join(ds, "train_data_list.txt"))
+    test = io.read_lines(os.path.join(ds, "test_data_list.txt"))
+    assert not set(train) & set(test)
+    assert io.read_lines(os.path.join(ds, "classes.txt")) == ["ball"]
