@@ -1,0 +1,44 @@
+"""ADD(-S) evaluation over the test split.
+
+Parity with /root/reference/experiments/eval.py:32-99: run the estimator +
+`iteration` rebased refinement steps per sample, accumulate per-class mean
+ADD(-S) distance and the <2 cm success rate, and the overall percentage.
+Batched over the test loader; distances come from the same jitted eval step
+the trainer uses.
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict, Iterable, Optional
+
+import numpy as np
+
+from ..train import densefusion as dft
+
+
+def evaluate(state: "dft.TrainerState", test_batches: Callable[[], Iterable],
+             classes, refine: bool = True, iteration: int = 2,
+             success_threshold: float = 0.02) -> Dict:
+    """Returns {cls: {'dis', '<2', '>=2', 'p'}, 'overall': {...}}."""
+    results = {cls: {"dis": [], "<2": 0, ">=2": 0} for cls in classes}
+    for batch in test_batches():
+        dis = dft.eval_step(state.pose_vars, state.refine_vars, batch,
+                            state.w, state.posenet, state.refiner,
+                            refine and state.refine_vars is not None,
+                            iteration, state.cfg.with_sym)
+        dis = np.asarray(dis)
+        for d, obj in zip(dis.tolist(), np.asarray(batch["obj_idx"]).tolist()):
+            cls = classes[int(obj)]
+            results[cls]["dis"].append(d)
+            results[cls]["<2" if d < success_threshold else ">=2"] += 1
+
+    total_less = sum(v["<2"] for v in results.values())
+    total_more = sum(v[">=2"] for v in results.values())
+    for cls, v in results.items():
+        n = v["<2"] + v[">=2"]
+        v["p"] = round(v["<2"] / n * 100, 2) if n else float("nan")
+        v["dis"] = round(float(np.mean(v["dis"])), 5) if v["dis"] else float("nan")
+    results["overall"] = {
+        "p": round(total_less / max(total_less + total_more, 1) * 100, 2),
+        "n": total_less + total_more,
+    }
+    return results

