@@ -35,9 +35,9 @@ class PSPModule(nn.Module):
         for s in self.sizes:
             p = adaptive_avg_pool(x, s)
             p = nn.Conv(feats, (1, 1), use_bias=False, dtype=self.dtype)(p)
-            # F.upsample(..., mode='bilinear') in the reference's torch version
-            # defaults to align_corners=True
-            priors.append(resize_bilinear(p, (h, w), align_corners=True)
+            # F.upsample(..., mode='bilinear') defaults to align_corners=False
+            # in the torch versions the reference ran (>= 0.4)
+            priors.append(resize_bilinear(p, (h, w), align_corners=False)
                           .astype(self.dtype))
         priors.append(x)
         y = jnp.concatenate(priors, axis=-1)
