@@ -48,12 +48,21 @@ class SegConfig:
     use_imagenet_stats: bool = True
 
 
-def build_model(cfg: SegConfig, dtype=jnp.bfloat16) -> unet.UNet:
-    if cfg.model_name != "Unet" or cfg.encoder_name != "resnet34":
+def build_model(cfg: SegConfig, dtype=jnp.bfloat16):
+    """Model registry {Unet, PSPNet, LinkNet} over the resnet34 encoder
+    (reference segmentation/__init__.py:12-14)."""
+    if cfg.encoder_name != "resnet34":
         raise NotImplementedError(
-            f"{cfg.model_name}/{cfg.encoder_name} — Unet/resnet34 is the "
-            "reference's only exercised configuration")
-    return unet.UNet(classes=cfg.classes, dtype=dtype)
+            f"encoder {cfg.encoder_name} — resnet34 is the registry encoder")
+    if cfg.model_name == "Unet":
+        return unet.UNet(classes=cfg.classes, dtype=dtype)
+    from ..models import seg_variants
+
+    if cfg.model_name == "LinkNet":
+        return seg_variants.LinkNet(classes=cfg.classes, dtype=dtype)
+    if cfg.model_name == "PSPNet":
+        return seg_variants.PSPNetSeg(classes=cfg.classes, dtype=dtype)
+    raise NotImplementedError(cfg.model_name)
 
 
 def make_tx(cfg: SegConfig) -> optax.GradientTransformation:
