@@ -1,0 +1,120 @@
+"""Mesh parallelism: dp equivalence with single-device, tp sharding, and the
+graft-entry dry run on the 8-device CPU mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from autoposeestimation_tpu.parallel import mesh as pmesh
+from autoposeestimation_tpu.train import densefusion as dft
+
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+
+def make_batch(batch, n, m, crop, num_obj, seed=0):
+    rng = np.random.default_rng(seed)
+    return {
+        "img": jnp.asarray(rng.normal(size=(batch, crop, crop, 3)), jnp.float32),
+        "cloud": jnp.asarray(rng.normal(size=(batch, n, 3)) * 0.05, jnp.float32),
+        "choose": jnp.asarray(rng.integers(0, crop * crop, (batch, n)), jnp.int32),
+        "target": jnp.asarray(rng.normal(size=(batch, m, 3)) * 0.05, jnp.float32),
+        "model_points": jnp.asarray(rng.normal(size=(batch, m, 3)) * 0.05,
+                                    jnp.float32),
+        "obj_idx": jnp.asarray(rng.integers(0, num_obj, batch), jnp.int32),
+        "is_sym": jnp.zeros(batch, bool),
+        "dropout_rng": jax.random.PRNGKey(7),
+    }
+
+
+def test_dp_matches_single_device():
+    num_obj, n, m, crop = 2, 24, 24, 16
+    cfg = dft.DFConfig(num_points=n, num_points_mesh=m)
+    state = dft.create_trainer(num_obj, cfg, crop=crop, dtype=jnp.float32)
+    batch = make_batch(8, n, m, crop, num_obj)
+
+    # single device
+    v1, o1, m1 = dft.estimator_step(state.pose_vars, state.opt_state, batch,
+                                    jnp.float32(cfg.w), state.posenet,
+                                    state.tx, True)
+
+    # 8-way data parallel
+    mesh = pmesh.make_mesh(8, model_parallel=1)
+    with mesh:
+        sb = pmesh.shard_batch(mesh, {k: v for k, v in batch.items()
+                                      if k != "dropout_rng"})
+        sb["dropout_rng"] = batch["dropout_rng"]
+        pv = pmesh.replicate_params(mesh, state.pose_vars)
+        po = pmesh.replicate_params(mesh, state.opt_state)
+        v8, o8, m8 = dft.estimator_step(pv, po, sb, jnp.float32(cfg.w),
+                                        state.posenet, state.tx, True)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]), rtol=1e-5)
+    # updated parameters identical
+    l1 = jax.tree_util.tree_leaves(v1["params"])
+    l8 = jax.tree_util.tree_leaves(v8["params"])
+    for a, b in zip(l1, l8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_tp_sharding_correctness():
+    num_obj, n, m, crop = 2, 24, 24, 16
+    cfg = dft.DFConfig(num_points=n, num_points_mesh=m)
+    state = dft.create_trainer(num_obj, cfg, crop=crop, dtype=jnp.float32)
+    batch = make_batch(4, n, m, crop, num_obj, seed=3)
+
+    v1, _, m1 = dft.estimator_step(state.pose_vars, state.opt_state, batch,
+                                   jnp.float32(cfg.w), state.posenet,
+                                   state.tx, True)
+
+    mesh = pmesh.make_mesh(8, model_parallel=2)
+    with mesh:
+        sb = pmesh.shard_batch(mesh, {k: v for k, v in batch.items()
+                                      if k != "dropout_rng"})
+        sb["dropout_rng"] = batch["dropout_rng"]
+        pv = pmesh.shard_params_tp(mesh, state.pose_vars)
+        po = pmesh.shard_params_tp(mesh, state.opt_state)
+        # wide kernels actually sharded over 'model'
+        k = pv["params"]["PoseNetFeat_0"]["Dense_5"]["kernel"]
+        assert "model" in str(k.sharding.spec)
+        vt, _, mt = dft.estimator_step(pv, po, sb, jnp.float32(cfg.w),
+                                       state.posenet, state.tx, True)
+    np.testing.assert_allclose(float(m1["loss"]), float(mt["loss"]), rtol=1e-4)
+
+
+def test_graft_dryrun():
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "graft", os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "__graft_entry__.py"))
+    graft = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(graft)
+    graft.dryrun_multichip(8)
+
+
+def test_seg_train_step_dp():
+    from autoposeestimation_tpu.train import segmentation as seg
+
+    cfg = seg.SegConfig(classes=3, lr=1e-3)
+    model = seg.build_model(cfg, dtype=jnp.float32)
+    tx = seg.make_tx(cfg)
+    x = jnp.zeros((8, 32, 32, 3))
+    variables = dict(model.init(jax.random.PRNGKey(0), x))
+    opt_state = tx.init(variables["params"])
+    rng = np.random.default_rng(0)
+    batch = {"image": jnp.asarray(rng.normal(size=(8, 32, 32, 3)), jnp.float32),
+             "label": jnp.asarray(rng.integers(0, 3, (8, 32, 32)), jnp.int32)}
+
+    _, _, m1 = seg.train_step(variables, opt_state, batch, model, tx, 3)
+
+    mesh = pmesh.make_mesh(8, model_parallel=1)
+    with mesh:
+        sb = pmesh.shard_batch(mesh, batch)
+        pv = pmesh.replicate_params(mesh, variables)
+        po = pmesh.replicate_params(mesh, opt_state)
+        _, _, m8 = seg.train_step(pv, po, sb, model, tx, 3)
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]), rtol=2e-5)
+    np.testing.assert_array_equal(np.asarray(m1["conf"]), np.asarray(m8["conf"]))
