@@ -77,12 +77,16 @@ def _pose_loss_single(pred_r, pred_t, pred_c, target, model_points, points,
     pred = _candidate_preds(pred_r, pred_t, points, model_points)  # (N, M, 3)
 
     per_point = jnp.linalg.norm(pred - target[None, :, :], axis=2)  # (N, M)
-    if with_sym and not refine:
-        sym_pp = _sym_min_dists(pred, target)
-        per_point = jnp.where(is_sym, sym_pp, per_point)
-
     dis = jnp.mean(per_point, axis=1)  # (N,)
     std = jnp.std(per_point, axis=1)   # (N,)
+    if with_sym and not refine:
+        # fused matched-moments kernel (Pallas on TPU, chunked XLA elsewhere)
+        from ..ops import pallas_addloss
+
+        dis_s, std_s = pallas_addloss.sym_moments(
+            pred_r, pred_t, points, model_points, target)
+        dis = jnp.where(is_sym, dis_s, dis)
+        std = jnp.where(is_sym, std_s, std)
     loss = jnp.mean((dis + 2.0 * std) * pred_c - w * jnp.log(
         jnp.maximum(pred_c, 1e-12)))
 

@@ -1,0 +1,88 @@
+"""Fused symmetric ADD-S moments: pallas-interpret vs XLA vs autodiff."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from autoposeestimation_tpu.ops import pallas_addloss as pa
+from autoposeestimation_tpu.utils import transforms as T
+
+
+def inputs(seed=0, n=40, m=30):
+    rng = np.random.default_rng(seed)
+    quat = jnp.asarray(rng.normal(size=(n, 4)), jnp.float32)
+    trans = jnp.asarray(rng.normal(size=(n, 3)) * 0.01, jnp.float32)
+    points = jnp.asarray(rng.normal(size=(n, 3)) * 0.1, jnp.float32)
+    model = jnp.asarray(rng.normal(size=(m, 3)) * 0.05, jnp.float32)
+    rot = np.asarray(T.quat_to_mat(jnp.asarray(rng.normal(size=4),
+                                               jnp.float32)))
+    target = jnp.asarray(np.asarray(model) @ rot.T + [0.01, 0.0, 0.02],
+                         jnp.float32)
+    return quat, trans, points, model, target
+
+
+def reference_moments(quat, trans, points, model, target):
+    rot = T.quat_to_mat(quat)
+    pred = jnp.einsum("mj,nij->nmi", model, rot) + (points + trans)[:, None]
+    d = jnp.linalg.norm(pred[:, :, None, :] - target[None, None, :, :],
+                        axis=-1)
+    dmin = jnp.min(d, axis=2)
+    return jnp.mean(dmin, axis=1), jnp.std(dmin, axis=1)
+
+
+def test_xla_path_matches_direct():
+    quat, trans, points, model, target = inputs()
+    dis, std = pa.sym_moments(quat, trans, points, model, target,
+                              use_pallas=False)
+    want_dis, want_std = reference_moments(quat, trans, points, model, target)
+    np.testing.assert_allclose(np.asarray(dis), np.asarray(want_dis),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(std), np.asarray(want_std),
+                               atol=1e-5)
+
+
+def test_pallas_interpret_matches():
+    quat, trans, points, model, target = inputs(1)
+    rot = T.quat_to_mat(quat)
+    dis_p, sq_p = pa._moments_fwd(rot, points + trans, model, target,
+                                  interpret=True)
+    want_dis, want_std = reference_moments(quat, trans, points, model, target)
+    np.testing.assert_allclose(np.asarray(dis_p), np.asarray(want_dis),
+                               atol=1e-5)
+    var = np.maximum(np.asarray(sq_p) - np.asarray(dis_p) ** 2, 0)
+    np.testing.assert_allclose(np.sqrt(var), np.asarray(want_std), atol=1e-4)
+
+
+def test_custom_vjp_matches_autodiff():
+    quat, trans, points, model, target = inputs(2, n=12, m=16)
+
+    def loss_custom(q, t, p):
+        dis, std = pa.sym_moments(q, t, p, model, target, False)
+        return jnp.sum(dis * 1.3 + std * 0.7)
+
+    def loss_auto(q, t, p):
+        dis, std = reference_moments(q, t, p, model, target)
+        return jnp.sum(dis * 1.3 + std * 0.7)
+
+    gc = jax.grad(loss_custom, argnums=(0, 1, 2))(quat, trans, points)
+    ga = jax.grad(loss_auto, argnums=(0, 1, 2))(quat, trans, points)
+    for a, b in zip(gc, ga):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_vjp_under_vmap():
+    """pose_loss vmaps over the batch; the custom VJP must survive that."""
+    quat, trans, points, model, target = inputs(3, n=8, m=10)
+    batch_q = jnp.stack([quat, quat * 1.1])
+    batch_t = jnp.stack([trans, trans])
+    batch_p = jnp.stack([points, points])
+    batch_m = jnp.stack([model, model])
+    batch_tg = jnp.stack([target, target])
+
+    def loss(q, t, p, m_, tg):
+        dis, std = jax.vmap(
+            lambda a, b, c, d, e: pa.sym_moments(a, b, c, d, e, False)
+        )(q, t, p, m_, tg)
+        return jnp.sum(dis + std)
+
+    g = jax.grad(loss)(batch_q, batch_t, batch_p, batch_m, batch_tg)
+    assert np.isfinite(np.asarray(g)).all()
