@@ -39,10 +39,25 @@ def main():
     static = (models.seg_model, models.posenet, models.refiner,
               num_classes, num_points, crop, refine_iters)
 
-    # synthetic frame with several object-like blobs so CCA/choose do real work
-    image = rng.integers(0, 255, (h, w, 3)).astype(np.uint8)
-    depth = rng.uniform(500, 1000, (h, w)).astype(np.float32)
-    depth[rng.random((h, w)) < 0.1] = 0.0
+    # a structured 5-object tabletop frame (ray-traced) so the per-class CCA,
+    # choose and crop stages do representative work — noise frames make CCA
+    # degenerate
+    from autoposeestimation_tpu.utils import synthetic
+
+    cfg = synthetic.SynthConfig(img_h=h, img_w=w, fx=600.0, fy=600.0,
+                                ring_radius=500.0, ring_height=450.0)
+    spheres = [
+        synthetic.SphereObject(f"obj{i}",
+                               np.asarray([120.0 * np.cos(a), 120.0 * np.sin(a),
+                                           40.0]),
+                               45.0, tuple(int(v) for v in
+                                           rng.integers(60, 255, 3)))
+        for i, a in enumerate(np.linspace(0, 2 * np.pi, num_classes,
+                                          endpoint=False))
+    ]
+    cam = synthetic.ring_cameras(cfg, np.zeros(3))[0]
+    image, depth, _ = synthetic.render(cfg, cam, spheres)
+    depth = depth.astype(np.float32)
     image_d = jax.device_put(jnp.asarray(image))
     depth_d = jax.device_put(jnp.asarray(depth))
     intr = jnp.asarray([600.0, 600.0, 320.0, 240.0], jnp.float32)
