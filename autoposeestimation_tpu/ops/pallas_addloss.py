@@ -45,36 +45,53 @@ _TC = 64  # candidates per grid program
 def _moments_kernel(pred_t_ref, rot_ref, model_ref, target_ref,
                     dis_ref, sq_ref):
     """pred_t (TC, 8): candidate translations (points + t, xyz padded)
-    rot (TC, 16): row-major 3x3 rotation (padded to 16 lanes)
+    rot (TC*3, 8): 3 rotation-matrix rows per candidate (xyz in cols 0..2)
     model (M, 8), target (M, 8): xyz padded
     dis/sq (8, TC/8): per-candidate mean / mean-square of matched distances.
+
+    Scatter doesn't lower in Mosaic; candidates accumulate into the (8, TC/8)
+    output tile via a broadcasted-iota select, and per-candidate rows come
+    from ref dynamic slices.
     """
-    model = model_ref[:, :3]  # (M, 3)
-    target = target_ref[:]    # (M, 8)
-    tt = jnp.sum(target * target, axis=1)  # (M,)
-    m = model.shape[0]
+    # model_ref cols: [x, y, z, 1, 0...]; target_ref cols: [-2x, -2y, -2z,
+    # ||t||^2, 0...] — the homogeneous column folds the translation into the
+    # first matmul and the ||t||^2 row into the second, keeping every
+    # intermediate >= 2D (Mosaic rejects 1xM replicated-layout vectors).
+    model_aug = model_ref[:, :4]   # (M, 4)
+    target_aug = target_ref[:, :4]  # (M, 4)
+    m = model_aug.shape[0]
+    rows = dis_ref.shape[0]
+    cols = dis_ref.shape[1]
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
+    ones_col = jnp.ones((m, 1), jnp.float32)
 
     def one(c, acc):
         dis_acc, sq_acc = acc
-        rot = rot_ref[c, :9].reshape(3, 3)
-        t = pred_t_ref[c, :3]
-        pred = jnp.dot(model, rot.T, preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST) + t  # (M, 3)
+        rot = rot_ref[pl.ds(3 * c, 3), :3]        # (3, 3) = R_c rows
+        t = pred_t_ref[pl.ds(c, 1), :3]           # (1, 3)
+        rot_aug = jnp.concatenate([rot, t], axis=0)  # (4, 3): [R^T rows; t]
+        pred = jnp.dot(model_aug, rot_aug,
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)  # (M, 3)
         pp = jnp.sum(pred * pred, axis=1, keepdims=True)  # (M, 1)
-        cross = jnp.dot(pred, target[:, :3].T,
+        pred_aug = jnp.concatenate([pred, ones_col], axis=1)  # (M, 4)
+        cross = jnp.dot(pred_aug, target_aug.T,
                         preferred_element_type=jnp.float32,
                         precision=jax.lax.Precision.HIGHEST)  # (M, M) MXU
-        d2 = pp + tt[None, :] - 2.0 * cross
-        dmin = jnp.sqrt(jnp.maximum(jnp.min(d2, axis=1), 0.0))  # (M,)
-        dis_acc = dis_acc.at[c].set(jnp.sum(dmin) / m)
-        sq_acc = sq_acc.at[c].set(jnp.sum(dmin * dmin) / m)
+        d2 = pp + cross
+        dmin2 = jnp.maximum(jnp.min(d2, axis=1, keepdims=True), 0.0)  # (M, 1)
+        dmin = jnp.sqrt(dmin2)
+        here = (row_ids == c // cols) & (col_ids == c % cols)
+        dis_acc = jnp.where(here, jnp.sum(dmin) / m, dis_acc)
+        sq_acc = jnp.where(here, jnp.sum(dmin2) / m, sq_acc)
         return dis_acc, sq_acc
 
     dis, sq = jax.lax.fori_loop(
-        0, _TC, one, (jnp.zeros((_TC,), jnp.float32),
-                      jnp.zeros((_TC,), jnp.float32)))
-    dis_ref[:, :] = dis.reshape(dis_ref.shape)
-    sq_ref[:, :] = sq.reshape(sq_ref.shape)
+        0, _TC, one, (jnp.zeros((rows, cols), jnp.float32),
+                      jnp.zeros((rows, cols), jnp.float32)))
+    dis_ref[:, :] = dis
+    sq_ref[:, :] = sq
 
 
 def _pad_rows(x, mult):
@@ -90,19 +107,29 @@ def _pad_cols(x, width):
 def _moments_fwd(rot, pred_t, model_points, target, interpret=False):
     """rot (N, 3, 3), pred_t (N, 3) -> (dis (N,), mean_sq (N,))."""
     n = rot.shape[0]
-    rot_flat = _pad_cols(rot.reshape(n, 9).astype(jnp.float32), 16)
+    # 3 rows of R^T per candidate, stacked: rows [3c, 3c+3) = R_c^T, so the
+    # kernel's homogeneous matmul computes model @ R^T + t directly
+    rot_rows = _pad_cols(
+        rot.transpose(0, 2, 1).reshape(n * 3, 3).astype(jnp.float32), 8)
     ptd = _pad_cols(pred_t.astype(jnp.float32), 8)
-    rot_flat = _pad_rows(rot_flat, _TC)
+    rot_rows = _pad_rows(rot_rows, 3 * _TC)
     ptd = _pad_rows(ptd, _TC)
-    model8 = _pad_cols(model_points.astype(jnp.float32), 8)
-    target8 = _pad_cols(target.astype(jnp.float32), 8)
-    num_prog = rot_flat.shape[0] // _TC
+    # homogeneous model column ([x, y, z, 1]) and target encoding
+    # ([-2x, -2y, -2z, ||t||^2]) for the fused distance expansion
+    model8 = _pad_cols(jnp.concatenate(
+        [model_points.astype(jnp.float32),
+         jnp.ones((model_points.shape[0], 1), jnp.float32)], axis=1), 8)
+    tgt = target.astype(jnp.float32)
+    target8 = _pad_cols(jnp.concatenate(
+        [-2.0 * tgt, jnp.sum(tgt * tgt, axis=1, keepdims=True)], axis=1), 8)
+    num_prog = ptd.shape[0] // _TC
 
     grid_spec = pl.GridSpec(
         grid=(num_prog,),
         in_specs=[
             pl.BlockSpec((_TC, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TC, 16), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * _TC, 8), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((model8.shape[0], 8), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((target8.shape[0], 8), lambda i: (0, 0),
@@ -126,11 +153,11 @@ def _moments_fwd(rot, pred_t, model_points, target, interpret=False):
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * n * m * m * 3 + n * m * m,
-            bytes_accessed=(rot_flat.size + ptd.size + model8.size
+            bytes_accessed=(rot_rows.size + ptd.size + model8.size
                             + target8.size + 2 * n) * 4,
             transcendentals=n * m,
         ),
-    )(ptd, rot_flat, model8, target8)
+    )(ptd, rot_rows, model8, target8)
     return dis.reshape(-1)[:n], sq.reshape(-1)[:n]
 
 

@@ -1,0 +1,119 @@
+"""Extended benchmark suite (beyond bench.py's single headline line).
+
+Measures on the real chip:
+  * segmentation-only forward fps (640x480 U-Net),
+  * the full fused pipeline fps (bench.py's metric),
+  * DenseFusion estimator training step/s (bs 8, 1000 pts) and the implied
+    samples/s,
+  * symmetric ADD-S loss moments op throughput (Pallas vs XLA),
+  * classical label-generation throughput (createLabel_RGBD frames/s).
+
+Prints one JSON object per metric, one per line.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def timeit(f, *args, n=20):
+    out = f(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = f(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / n
+
+
+def emit(metric, value, unit, baseline=None):
+    entry = {"metric": metric, "value": round(value, 3), "unit": unit}
+    if baseline:
+        entry["vs_baseline"] = round(value / baseline, 3)
+    print(json.dumps(entry), flush=True)
+
+
+def main():
+    from autoposeestimation_tpu.models import unet
+    from autoposeestimation_tpu.ops import bg_subtraction as bgs
+    from autoposeestimation_tpu.ops import pallas_addloss as pa
+    from autoposeestimation_tpu.train import densefusion as dft
+    from autoposeestimation_tpu.utils import transforms as T
+
+    rng = np.random.default_rng(0)
+
+    # --- segmentation forward -------------------------------------------
+    seg = unet.UNet(classes=6, dtype=jnp.bfloat16)
+    x = jnp.asarray(rng.normal(size=(1, 480, 640, 3)), jnp.float32)
+    seg_vars = seg.init(jax.random.PRNGKey(0), x)
+    seg_fwd = jax.jit(lambda v, xx: seg.apply(v, xx))
+    dt = timeit(seg_fwd, seg_vars, x)
+    emit("unet_segmentation_fps_640x480", 1.0 / dt, "frames/sec", 30.0)
+
+    # --- DenseFusion training step --------------------------------------
+    cfg = dft.DFConfig()
+    state = dft.create_trainer(num_obj=5, cfg=cfg, crop=320,
+                               dtype=jnp.bfloat16)
+    b = 8
+    batch = {
+        "img": jnp.asarray(rng.normal(size=(b, 320, 320, 3)), jnp.float32),
+        "cloud": jnp.asarray(rng.normal(size=(b, 1000, 3)) * 0.05, jnp.float32),
+        "choose": jnp.asarray(rng.integers(0, 320 * 320, (b, 1000)), jnp.int32),
+        "target": jnp.asarray(rng.normal(size=(b, 1000, 3)) * 0.05, jnp.float32),
+        "model_points": jnp.asarray(rng.normal(size=(b, 1000, 3)) * 0.05,
+                                    jnp.float32),
+        "obj_idx": jnp.asarray(rng.integers(0, 5, b), jnp.int32),
+        "is_sym": jnp.asarray(rng.integers(0, 2, b), bool),
+        "dropout_rng": jax.random.PRNGKey(0),
+    }
+
+    def step(vars_, opt):
+        return dft.estimator_step(vars_, opt, batch, jnp.float32(cfg.w),
+                                  state.posenet, state.tx, True)
+
+    dt = timeit(step, state.pose_vars, state.opt_state, n=10)
+    emit("densefusion_train_step_seconds_bs8", dt, "sec/step")
+    # reference: bs=1 forward+backward per sample, 8 samples per optimizer step
+    emit("densefusion_train_samples_per_sec", b / dt, "samples/sec")
+
+    # --- symmetric ADD-S moments op -------------------------------------
+    n, m = 1000, 1000
+    quat = jnp.asarray(rng.normal(size=(n, 4)), jnp.float32)
+    trans = jnp.asarray(rng.normal(size=(n, 3)) * 0.01, jnp.float32)
+    points = jnp.asarray(rng.normal(size=(n, 3)) * 0.1, jnp.float32)
+    model = jnp.asarray(rng.normal(size=(m, 3)) * 0.05, jnp.float32)
+    target = jnp.asarray(rng.normal(size=(m, 3)) * 0.05, jnp.float32)
+
+    on_tpu = jax.default_backend() == "tpu"
+    f_pallas = jax.jit(lambda *a: pa.sym_moments(*a, True))
+    f_xla = jax.jit(lambda *a: pa.sym_moments(*a, False))
+    if on_tpu:
+        dt = timeit(f_pallas, quat, trans, points, model, target, n=10)
+        emit("sym_adds_moments_pallas_ms_1000x1000", dt * 1000, "ms")
+    dt = timeit(f_xla, quat, trans, points, model, target, n=10)
+    emit("sym_adds_moments_xla_ms_1000x1000", dt * 1000, "ms")
+
+    # --- classical label generation -------------------------------------
+    bg_rgb = jnp.asarray(rng.integers(0, 255, (480, 640, 3)), jnp.float32)
+    fg_rgb = jnp.asarray(rng.integers(0, 255, (480, 640, 3)), jnp.float32)
+    bg_d = jnp.asarray(rng.uniform(700, 1100, (480, 640)), jnp.float32)
+    fg_d = jnp.asarray(rng.uniform(700, 1100, (480, 640)), jnp.float32)
+
+    def label(k):
+        return bgs.create_label_rgbd(bg_rgb, fg_rgb, bg_d, fg_d,
+                                     jnp.float32(900.0), threshold=30.0,
+                                     hsv=False, both=True, open_k=6,
+                                     close_k=6, remove_one_std=True)
+
+    dt = timeit(label, 0, n=10)
+    emit("classical_label_gen_fps_640x480", 1.0 / dt, "frames/sec")
+
+
+if __name__ == "__main__":
+    main()
