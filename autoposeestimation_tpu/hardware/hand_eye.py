@@ -124,6 +124,30 @@ def calibrate_hand_eye(robot2end_list: List[np.ndarray],
     return solve_ax_xb(a_list, b_list)
 
 
+def save_poses_yaml(path: str, poses: List[np.ndarray],
+                    key_prefix: str = "pose") -> None:
+    """OpenCV-FileStorage-compatible yaml pose dump (the reference's
+    cam_poses.yaml / robot_poses.yaml contract, getPoses.py:12-129)."""
+    import cv2
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    fs = cv2.FileStorage(path, cv2.FILE_STORAGE_WRITE)
+    fs.write("n", len(poses))
+    for i, pose in enumerate(poses):
+        fs.write(f"{key_prefix}_{i}", np.asarray(pose, np.float64))
+    fs.release()
+
+
+def load_poses_yaml(path: str, key_prefix: str = "pose") -> List[np.ndarray]:
+    import cv2
+
+    fs = cv2.FileStorage(path, cv2.FILE_STORAGE_READ)
+    n = int(fs.getNode("n").real())
+    poses = [fs.getNode(f"{key_prefix}_{i}").mat() for i in range(n)]
+    fs.release()
+    return poses
+
+
 def save_hand_eye(path: str, tf: np.ndarray) -> None:
     """handEye_tf.json contract: {'tf': 16 floats} (mm)."""
     io.write_json(path, {"tf": [float(v) for v in np.asarray(tf).flatten()]})

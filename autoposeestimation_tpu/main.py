@@ -272,6 +272,41 @@ class App:
             self._load_hand_eye(), models, self.root, ds_name, cls,
             confirm=confirm)
 
+    # -- 8. visualise ------------------------------------------------------
+    def visualise(self, kind: Optional[str] = None, obj: Optional[str] = None,
+                  run: str = "foreground", mode: str = "gen",
+                  show=None) -> int:
+        """Mask-overlay / pose-label-reprojection slideshows (reference
+        main.py:564-574). `show(frame)` receives each uint8 frame (defaults
+        to matplotlib display when available); returns the frame count."""
+        from .pipeline import visualize as viz
+
+        kind = kind or tui.get_selection(
+            "visualisation", ["segmentation masks", "pose labels"],
+            input_fn=self.input_fn, print_fn=self.print_fn)
+        obj = obj or self._select_objects(multi=False)
+        if show is None:
+            def show(frame):
+                try:
+                    import matplotlib.pyplot as plt
+
+                    plt.imshow(frame)
+                    plt.pause(0.05)
+                except Exception:
+                    pass
+
+        token = viz.CancellationToken()
+        gen = (viz.visualise_segmentation_masks(self.root, obj, run, mode,
+                                                token=token)
+               if kind == "segmentation masks"
+               else viz.visualise_pose_labels(self.root, obj, run,
+                                              token=token))
+        n = 0
+        for frame in gen:
+            show(frame)
+            n += 1
+        return n
+
     # ------------------------------------------------------------------
     ACTIONS = [
         ("acquire new data from object", "acquire_new_data_from_object"),
@@ -281,6 +316,7 @@ class App:
         ("train segmentation", "train_segmentation"),
         ("train pose estimation", "train_pose_estimation"),
         ("run live prediction", "run_live_prediction"),
+        ("visualise", "visualise"),
         ("teach grasping", "teach_grasping"),
         ("grasp", "grasp"),
         ("quit", None),

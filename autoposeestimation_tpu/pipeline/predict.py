@@ -187,10 +187,15 @@ def get_prediction_models(root: str, data_set_name: str,
 
 def full_prediction(image: np.ndarray, depth: np.ndarray, meta: Dict,
                     models: PredictionModels,
-                    key: Optional[jax.Array] = None) -> Dict:
+                    key: Optional[jax.Array] = None,
+                    color_prediction: bool = False,
+                    color_dict: Optional[Dict] = None,
+                    with_bbox: bool = False) -> Dict:
     """Host wrapper with the reference's output contract:
     {'predictions': {cls: {'mask', 'position', 'rotation'}},
-     'elapsed_times': {'segmentation', 'pose_estimation', 'total'}}.
+     'elapsed_times': {'segmentation', 'pose_estimation', 'total'}},
+    plus 'segmented_prediction'/'pose_prediction' painted overlays when
+    `color_prediction` is set (pipeline/utils.py:417-513,576-603).
 
     `image` uint8 RGB (480, 640, 3); `depth` raw units (H, W); `meta` provides
     `intr` (Intrinsics or dict) and `depth_scale` (to meters).
@@ -227,7 +232,20 @@ def full_prediction(image: np.ndarray, depth: np.ndarray, meta: Dict,
                 "position": positions[i],
                 "rotation": quats[i],
             }
-    return {"predictions": predictions, "elapsed_times": timer.total()}
+    out_dict = {"predictions": predictions}
+    if color_prediction:
+        from . import visualize as viz
+        from ..main import COLOR_DICT
+
+        cd = color_dict or {
+            cls: list(COLOR_DICT.values())[i % len(COLOR_DICT)]
+            for i, cls in enumerate(models.classes)}
+        mp = {cls: np.asarray(models.model_points[i])
+              for i, cls in enumerate(models.classes)}
+        out_dict.update(viz.paint_prediction(image, out_dict, cd, intr, mp,
+                                             with_bbox=with_bbox))
+    out_dict["elapsed_times"] = timer.total()
+    return out_dict
 
 
 def get_robot2object(prediction: Dict, controller, end2cam: np.ndarray) -> Dict:

@@ -147,6 +147,29 @@ class ReduceLROnPlateau:
         return self.lr
 
 
+def dump_prediction_images(variables, model, batch, path: str,
+                           num_classes: int) -> None:
+    """Per-epoch (input | ground truth | prediction) panel dump — the
+    reference's logs/images grids (segmentation/__init__.py:180-195)."""
+    from ..utils import io as io_utils
+
+    logits = model.apply(variables, batch["image"][:4])
+    pred = np.asarray(jnp.argmax(logits, axis=-1))
+    label = np.asarray(batch["label"][:4])
+    img = np.asarray(batch["image"][:4])
+    # un-normalize roughly for display; map classes onto a gray ramp
+    disp = np.clip((img[..., :3] * 0.25 + 0.45) * 255, 0, 255).astype(np.uint8)
+    scale = 255 // max(num_classes - 1, 1)
+    rows = []
+    for i in range(len(disp)):
+        gt_panel = np.repeat((label[i] * scale).astype(np.uint8)[..., None],
+                             3, axis=-1)
+        pr_panel = np.repeat((pred[i] * scale).astype(np.uint8)[..., None],
+                             3, axis=-1)
+        rows.append(np.concatenate([disp[i], gt_panel, pr_panel], axis=1))
+    io_utils.write_png(path, np.concatenate(rows, axis=0))
+
+
 def segmentation_training(train_loader: Callable[[], Iterable],
                           valid_loader: Callable[[], Iterable],
                           cfg: SegConfig,
@@ -158,6 +181,7 @@ def segmentation_training(train_loader: Callable[[], Iterable],
                           dtype=jnp.bfloat16,
                           seed: int = 0,
                           sample_shape=(480, 480),
+                          image_dump_dir: Optional[str] = None,
                           epoch_callback=None) -> Dict[str, Any]:
     """The train loop. Returns {'variables', 'best_iou', 'log'}."""
     model = build_model(cfg, dtype=dtype)
@@ -189,13 +213,21 @@ def segmentation_training(train_loader: Callable[[], Iterable],
         valid_losses = []
         vconf = jnp.zeros((cfg.classes, cfg.classes), jnp.int32)
         vconf_cca = jnp.zeros((cfg.classes, cfg.classes), jnp.int32)
+        first_valid_batch = None
         for batch in valid_loader():
+            if first_valid_batch is None:
+                first_valid_batch = batch
             m = eval_step(variables, batch, model, cfg.classes,
                           with_cca_metric)
             valid_losses.append(float(m["loss"]))
             vconf = vconf + m["conf"]
             if with_cca_metric:
                 vconf_cca = vconf_cca + m["conf_cca"]
+        if image_dump_dir and first_valid_batch is not None:
+            dump_prediction_images(
+                variables, model, first_valid_batch,
+                os.path.join(image_dump_dir, f"epoch_{epoch:04d}.png"),
+                cfg.classes)
         _, valid_iou = losses.iou_from_confusion(vconf)
         valid_iou = float(valid_iou)
 
