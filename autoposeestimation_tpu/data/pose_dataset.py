@@ -151,7 +151,10 @@ class PoseDataset:
         rc = (np.where(rows)[0][[0, -1]].sum() + 1) // 2
         cc = (np.where(cols)[0][[0, -1]].sum() + 1) // 2
         h, w = label_np.shape
-        crop = self.crop
+        # clamp the static window to the frame (small test images), keeping
+        # the PSPNet stride-8 requirement
+        crop = min(self.crop, h, w)
+        crop -= crop % 8
         r0 = int(np.clip(rc - crop // 2, 0, h - crop))
         c0 = int(np.clip(cc - crop // 2, 0, w - crop))
 

@@ -122,6 +122,22 @@ def _full_prediction_jit(seg_vars, pose_vars, refine_vars,
     }
 
 
+@functools.partial(jax.jit, static_argnames=("models_static",))
+def _full_prediction_batched_jit(seg_vars, pose_vars, refine_vars, images,
+                                 depths, intr, depth_scale, key,
+                                 models_static):
+    """Throughput mode: vmap the whole fused frame graph over a batch of
+    frames (B, H, W, ...) — saturates the MXU when serving recorded streams
+    or multi-camera rigs. Same outputs with a leading batch axis."""
+    b = images.shape[0]
+    keys = jax.random.split(key, b)
+    return jax.vmap(
+        lambda img, dep, k: _full_prediction_jit(
+            seg_vars, pose_vars, refine_vars, img, dep, intr, depth_scale,
+            k, models_static)
+    )(images, depths, keys)
+
+
 def build_models(num_classes_fg: int, model_points: np.ndarray,
                  classes, seg_vars=None, pose_vars=None, refine_vars=None,
                  num_points: int = 1000, crop: int = 320,

@@ -99,6 +99,40 @@ def main():
     dt = timeit(f_xla, quat, trans, points, model, target, n=10)
     emit("sym_adds_moments_xla_ms_1000x1000", dt * 1000, "ms")
 
+    # --- batched-frame serving throughput -------------------------------
+    from autoposeestimation_tpu.pipeline import predict
+    from autoposeestimation_tpu.utils import synthetic
+
+    num_classes = 5
+    cfg2 = synthetic.SynthConfig(img_h=480, img_w=640, fx=600.0, fy=600.0,
+                                 ring_radius=500.0, ring_height=450.0)
+    spheres = [synthetic.SphereObject(
+        f"o{i}", np.asarray([120.0 * np.cos(a), 120.0 * np.sin(a), 40.0]),
+        45.0, tuple(int(v) for v in rng.integers(60, 255, 3)))
+        for i, a in enumerate(np.linspace(0, 2 * np.pi, num_classes,
+                                          endpoint=False))]
+    cams = synthetic.ring_cameras(cfg2, np.zeros(3))
+    frames = [synthetic.render(cfg2, cams[i % len(cams)], spheres)
+              for i in range(8)]
+    images = jnp.asarray(np.stack([f[0] for f in frames]))
+    depths = jnp.asarray(np.stack([f[1] for f in frames]), jnp.float32)
+    models = predict.build_models(
+        num_classes, rng.normal(size=(num_classes, 1000, 3)).astype(
+            np.float32) * 0.05,
+        tuple(f"o{i}" for i in range(num_classes)), num_points=1000,
+        crop=320, refine_iters=2, dtype=jnp.bfloat16, img_hw=(480, 640))
+    static2 = (models.seg_model, models.posenet, models.refiner,
+               num_classes, 1000, 320, 2)
+    intr2 = jnp.asarray([600.0, 600.0, 320.0, 240.0], jnp.float32)
+
+    def batched(k):
+        return predict._full_prediction_batched_jit(
+            models.seg_vars, models.pose_vars, models.refine_vars,
+            images, depths, intr2, jnp.float32(0.001), k, static2)
+
+    dt = timeit(batched, jax.random.PRNGKey(0), n=10)
+    emit("full_prediction_batched8_fps_640x480", 8.0 / dt, "frames/sec", 30.0)
+
     # --- classical label generation -------------------------------------
     bg_rgb = jnp.asarray(rng.integers(0, 255, (480, 640, 3)), jnp.float32)
     fg_rgb = jnp.asarray(rng.integers(0, 255, (480, 640, 3)), jnp.float32)
