@@ -31,15 +31,18 @@ class LinkNetDecoderBlock(nn.Module):
     def __call__(self, x, train: bool = False):
         c = x.shape[-1]
         y = nn.Conv(c // 4, (1, 1), use_bias=False, dtype=self.dtype)(x)
-        y = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32)(y)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         dtype=jnp.float32)(y)
         y = nn.relu(y)
         y = nn.ConvTranspose(c // 4, (4, 4), strides=(2, 2), padding="SAME",
                              use_bias=False, dtype=self.dtype)(y)
-        y = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32)(y)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         dtype=jnp.float32)(y)
         y = nn.relu(y)
         y = nn.Conv(self.out_features, (1, 1), use_bias=False,
                     dtype=self.dtype)(y)
-        y = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32)(y)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         dtype=jnp.float32)(y)
         return nn.relu(y)
 
 
@@ -93,7 +96,8 @@ class PSPNetSeg(nn.Module):
         y = jnp.concatenate(priors, axis=-1)
         y = nn.Conv(512, (3, 3), padding=1, use_bias=False,
                     dtype=self.dtype)(y)
-        y = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32)(y)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         dtype=jnp.float32)(y)
         y = nn.relu(y)
         y = nn.Dropout(0.1, deterministic=not train)(y)
         logits = nn.Conv(self.classes, (1, 1), dtype=jnp.float32)(

@@ -50,7 +50,7 @@ class _ConvStack(nn.Module):
         for wdt in self.widths:
             x = nn.Conv(wdt, (3, 3), padding=1, use_bias=False,
                         dtype=self.dtype)(x)
-            x = nn.BatchNorm(use_running_average=not train,
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                              dtype=jnp.float32)(x)
             x = nn.relu(x)
         return x

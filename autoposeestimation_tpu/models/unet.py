@@ -35,7 +35,7 @@ class DecoderBlock(nn.Module):
         for _ in range(2):
             x = nn.Conv(self.features, (3, 3), padding=1, use_bias=False,
                         dtype=self.dtype)(x)
-            x = nn.BatchNorm(use_running_average=not train,
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                              dtype=jnp.float32)(x)
             x = nn.relu(x)
         return x

@@ -1,0 +1,109 @@
+"""The full learned loop on synthetic data: train segmentation + DenseFusion
+briefly, then run the fused serving graph with the trained weights and check
+it detects the object with a bounded pose error. This is the minimum
+end-to-end slice of SURVEY.md §7 with *trained* models."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from autoposeestimation_tpu.data import (loader, pose_dataset,
+                                         segmentation_dataset)
+from autoposeestimation_tpu.pipeline import predict
+from autoposeestimation_tpu.train import densefusion as dft, segmentation as seg
+from autoposeestimation_tpu.utils import io, synthetic
+
+
+OBJ_CENTER = np.asarray([20.0, -10.0, 35.0])
+
+
+@pytest.fixture(scope="module")
+def world(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("e2e"))
+    synthetic.make_dataset(root, objects=[
+        synthetic.SphereObject("ball", OBJ_CENTER, 35.0, (210, 40, 40),
+                               symmetric=1)])
+    return root
+
+
+@pytest.fixture(scope="module")
+def trained_seg(world):
+    train_ds = segmentation_dataset.SegmentationDataset(
+        world, "synth", mode="train", label_mode="gen", output_size=64)
+    valid_ds = segmentation_dataset.SegmentationDataset(
+        world, "synth", mode="test", label_mode="gen")
+    cfg = seg.SegConfig(classes=2, epochs=8, batch_size=2, lr=3e-3)
+    out = seg.segmentation_training(
+        lambda: loader.Loader(train_ds, 2, seed=0),
+        lambda: loader.Loader(valid_ds, 2, shuffle=False, drop_last=False),
+        cfg, out_dir=os.path.join(world, "segmentation", "trained_models",
+                                  "synth"),
+        dtype=jnp.float32, sample_shape=(64, 64))
+    return out
+
+
+@pytest.fixture(scope="module")
+def trained_pose(world):
+    cfg = dft.DFConfig(batch_size=2, num_points=100, num_points_mesh=120,
+                       lr=1e-4)
+    state = dft.create_trainer(num_obj=1, cfg=cfg, crop=64, dtype=jnp.float32)
+    train_ds = pose_dataset.PoseDataset(
+        world, "synth", mode="train", num_pt=100, num_pt_mesh=120, crop=64,
+        add_noise=False)
+    test_ds = pose_dataset.PoseDataset(
+        world, "synth", mode="test", num_pt=100, num_pt_mesh=120, crop=64)
+    state = dft.train(
+        state,
+        lambda: loader.Loader(train_ds, 2, seed=0),
+        lambda: loader.Loader(test_ds, 2, shuffle=False, drop_last=False),
+        out_dir=os.path.join(world, "DenseFusion", "trained_models", "synth"),
+        epochs=5)
+    return state
+
+
+def test_seg_learns(trained_seg):
+    assert trained_seg["best_iou"] > 0.5, trained_seg["best_iou"]
+
+
+def test_pose_learns(trained_pose):
+    # object scale is 35 mm = 0.035 m; ADD under ~8 cm after a few epochs
+    # shows the estimator is actually regressing pose, not noise
+    assert trained_pose.best_test < 0.08, trained_pose.best_test
+
+
+def test_trained_serving_end_to_end(world, trained_seg, trained_pose):
+    model_cloud = io.read_xyz(os.path.join(io.pc_dir(world), "ball",
+                                           "ball.xyz")) / 1000.0
+    models = predict.build_models(
+        num_classes_fg=1, model_points=model_cloud[None, :500],
+        classes=("ball",),
+        seg_vars=trained_seg["variables"],
+        pose_vars=trained_pose.pose_vars,
+        refine_vars=trained_pose.refine_vars,
+        num_points=100, crop=64, refine_iters=0, dtype=jnp.float32,
+        img_hw=(128, 160))
+
+    run_dir = os.path.join(io.data_dir(world), "ball", "foreground")
+    meta = io.read_sample_meta(os.path.join(run_dir, "000002.meta.json"))
+    image = io.read_color(os.path.join(run_dir, "000002.color.png"))
+    depth = io.read_depth(os.path.join(run_dir, "000002.depth.png"))
+
+    out = predict.full_prediction(image, depth.astype(np.float32), meta,
+                                  models, key=jax.random.PRNGKey(0))
+    assert "ball" in out["predictions"], out["predictions"].keys()
+    p = out["predictions"]["ball"]
+
+    # ground-truth camera-frame center (m)
+    robot2cam = io.robot2cam_from_meta(meta)
+    gt_cam = (np.linalg.inv(robot2cam) @ np.append(OBJ_CENTER, 1.0))[:3] / 1000.0
+    err = np.linalg.norm(p["position"] - gt_cam)
+    assert err < 0.12, (p["position"], gt_cam, err)
+
+    # the mask should overlap the true object region
+    gt_mask = io.read_label(os.path.join(
+        io.label_dir(world), "ball", "foreground", "000002.gen.label.png"))
+    inter = ((p["mask"] > 0) & (gt_mask > 0)).sum()
+    union = ((p["mask"] > 0) | (gt_mask > 0)).sum()
+    assert inter / max(union, 1) > 0.5
