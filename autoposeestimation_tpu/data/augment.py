@@ -109,8 +109,10 @@ class CropAndZoom:
         return [bbox[0] - move[0], bbox[1] - move[0],
                 bbox[2] - move[1], bbox[3] - move[1]]
 
-    def __call__(self, img: Image.Image, label: Image.Image):
-        label_np = np.array(label)
+    def compute_box(self, label_np: np.ndarray):
+        """The label-driven crop box as a PIL (left, upper, right, lower)
+        tuple — shared by the joint image/label crop and the pose-dataset
+        variant that also crops depth and rewrites intrinsics."""
         size = label_np.shape  # (h, w)
         ext = self._extremes(label_np)
         h, w, c = self._size(ext)
@@ -144,7 +146,10 @@ class CropAndZoom:
                 bbox = self._bbox(bc, size[0] - 2)
                 bbox = self._inside(bbox, size)
 
-        box = [bbox[2], bbox[0], bbox[3], bbox[1]]  # PIL (l, u, r, d)
+        return [bbox[2], bbox[0], bbox[3], bbox[1]]  # PIL (l, u, r, d)
+
+    def __call__(self, img: Image.Image, label: Image.Image):
+        box = self.compute_box(np.array(label))
         img = img.crop(box).resize((self.output_size, self.output_size))
         label = label.crop(box).resize((self.output_size, self.output_size),
                                        resample=Image.NEAREST)

@@ -36,7 +36,13 @@ class PoseDataset:
                  num_pt: int = 1000, add_noise: bool = True,
                  noise_trans: float = 0.03, label_mode: str = "new_pred",
                  p_extra_data: float = 0.0, p_viewpoints: float = 1.0,
-                 num_pt_mesh: int = 1000, crop: int = 320, seed: int = 0):
+                 num_pt_mesh: int = 1000, crop: int = 320, seed: int = 0,
+                 crop_and_zoom: bool = False):
+        # crop_and_zoom: the myDatasetAugmented2 experiment variant
+        # (/root/reference/DenseFusion/datasets/myDatasetAugmented2/
+        # dataset.py:139-146): random label-driven zoom crops with the
+        # intrinsics rewritten to the crop frame
+        self.crop_and_zoom = crop_and_zoom
         ds_dir = io.dataset_dir(root, "pose_estimation", data_set_name)
         self.mode = mode
         self.num_pt = num_pt
@@ -139,6 +145,27 @@ class PoseDataset:
         target_r = cam2object[:3, :3]
         target_t = cam2object[:3, 3] / 1000.0  # to meters
 
+        fx, fy, ppx, ppy = intr.fx, intr.fy, intr.ppx, intr.ppy
+        if self.crop_and_zoom and self.mode == "train":
+            from PIL import Image as PILImage
+
+            from . import augment as aug
+
+            caz = aug.CropAndZoom(self.crop, rng=self.rng)
+            box = caz.compute_box(np.asarray(label))
+            l_, u_, r_, d_ = box
+            sx = self.crop / max(r_ - l_, 1)
+            sy = self.crop / max(d_ - u_, 1)
+            img = img.crop(box).resize((self.crop, self.crop))
+            label = label.crop(box).resize((self.crop, self.crop),
+                                           PILImage.NEAREST)
+            depth = depth.crop(box).resize((self.crop, self.crop),
+                                           PILImage.NEAREST)
+            # intrinsics rewritten to the zoomed crop frame
+            # (myDatasetAugmented2 behavior)
+            fx, fy = fx * sx, fy * sy
+            ppx, ppy = (ppx - l_) * sx, (ppy - u_) * sy
+
         img_np = np.asarray(img, np.uint8)
         label_np = np.asarray(label, np.uint8)
         depth_np = np.asarray(depth, np.float32)
@@ -173,8 +200,8 @@ class PoseDataset:
         drow = r0 + choose // crop
         dcol = c0 + choose % crop
         z = depth_np[drow, dcol] * image_meta["depth_scale"]
-        x = (dcol - intr.ppx) * z / intr.fx
-        y = (drow - intr.ppy) * z / intr.fy
+        x = (dcol - ppx) * z / fx
+        y = (drow - ppy) * z / fy
         cloud = np.stack([x, y, z], axis=1).astype(np.float32)
 
         if self.add_noise:

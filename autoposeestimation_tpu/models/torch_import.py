@@ -134,6 +134,34 @@ def import_refinenet(state: Dict) -> Dict:
     }}
 
 
+def warm_start_posenet(state: Dict, num_obj: int, rng=None) -> Dict:
+    """Partial load with head re-init — the reference's upstream-YCB warm
+    start (/root/reference/DenseFusion/tools/train.py:109-134): keep the
+    trunk (PSPNet + fusion + head hidden layers), re-initialize the final
+    per-object head layers when the object count differs from the source
+    checkpoint's.
+
+    Returns our PoseNet variables for `num_obj` objects.
+    """
+    import numpy as np
+
+    state = _strip_prefix(state)
+    variables = import_posenet(state)
+    rng = np.random.default_rng(0) if rng is None else rng
+    src_num_obj = variables["params"]["PoseHead_0"]["Dense_3"][
+        "kernel"].shape[1] // 4
+    if src_num_obj == num_obj:
+        return variables
+    for head, dim in (("PoseHead_0", 4), ("PoseHead_1", 3), ("PoseHead_2", 1)):
+        final = variables["params"][head]["Dense_3"]
+        fan_in = final["kernel"].shape[0]
+        scale = 1.0 / np.sqrt(fan_in)
+        final["kernel"] = rng.uniform(
+            -scale, scale, (fan_in, dim * num_obj)).astype(np.float32)
+        final["bias"] = np.zeros(dim * num_obj, np.float32)
+    return variables
+
+
 def load_pth(path: str) -> Dict:
     """Load a torch .pth state_dict as {name: np.ndarray} (torch CPU)."""
     import torch

@@ -124,3 +124,18 @@ def test_device_prefetch(synth_root):
     out = list(loader.device_prefetch(iter(ld)))
     assert len(out) == len(ld)
     assert hasattr(out[0]["image"], "devices")
+
+
+def test_pose_dataset_crop_and_zoom_variant(synth_root):
+    """myDatasetAugmented2 behavior: zoomed crops with rewritten intrinsics
+    must still backproject onto the object surface."""
+    ds = pose_dataset.PoseDataset(synth_root, "synth", mode="train",
+                                  num_pt=150, num_pt_mesh=200, crop=64,
+                                  add_noise=False, crop_and_zoom=True, seed=5)
+    s = ds[0]
+    assert s is not None
+    assert s["img"].shape == (64, 64, 3)
+    center = s["target"].mean(axis=0)
+    d = np.linalg.norm(s["cloud"] - center, axis=1)
+    radius = np.linalg.norm(s["model_points"], axis=1).mean()
+    assert abs(np.median(d) - radius) < 0.02, (np.median(d), radius)
