@@ -68,7 +68,8 @@ def set_lr(opt_state, lr: float):
     return opt_state
 
 
-@functools.partial(jax.jit, static_argnames=("posenet", "tx", "with_sym"))
+@functools.partial(jax.jit, static_argnames=("posenet", "tx", "with_sym"),
+                   donate_argnames=("pose_vars", "opt_state"))
 def estimator_step(pose_vars, opt_state, batch, w, posenet, tx,
                    with_sym: bool = True):
     """One estimator phase step. batch: img (B,S,S,3) normalized, cloud
@@ -95,7 +96,8 @@ def estimator_step(pose_vars, opt_state, batch, w, posenet, tx,
 
 
 @functools.partial(jax.jit, static_argnames=("posenet", "refiner", "tx",
-                                             "iteration", "with_sym"))
+                                             "iteration", "with_sym"),
+                   donate_argnames=("refine_vars", "opt_state"))
 def refiner_step(pose_vars, refine_vars, opt_state, batch, w, posenet,
                  refiner, tx, iteration: int = 2, with_sym: bool = True):
     """One refiner phase step: frozen estimator forward, then `iteration`

@@ -73,7 +73,8 @@ def make_tx(cfg: SegConfig) -> optax.GradientTransformation:
     )(learning_rate=cfg.lr)
 
 
-@functools.partial(jax.jit, static_argnames=("model", "tx", "num_classes"))
+@functools.partial(jax.jit, static_argnames=("model", "tx", "num_classes"),
+                   donate_argnames=("variables", "opt_state"))
 def train_step(variables, opt_state, batch, model, tx, num_classes: int):
     """One step: jaccard loss, BN batch_stats update, confusion-matrix chunk."""
 

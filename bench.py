@@ -72,13 +72,16 @@ def main():
     out = run(key)
     jax.block_until_ready(out)
 
+    # median of 3 trials: the tunneled dev chip is time-shared and noisy
     iters = 30
-    t0 = time.perf_counter()
-    for i in range(iters):
-        out = run(jax.random.fold_in(key, i))
-    jax.block_until_ready(out)
-    elapsed = time.perf_counter() - t0
-    fps = iters / elapsed
+    trials = []
+    for t in range(3):
+        t0 = time.perf_counter()
+        for i in range(iters):
+            out = run(jax.random.fold_in(key, t * iters + i))
+        jax.block_until_ready(out)
+        trials.append(iters / (time.perf_counter() - t0))
+    fps = sorted(trials)[1]
 
     print(json.dumps({
         "metric": "full_prediction_fps_640x480_5obj",

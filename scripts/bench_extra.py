@@ -73,11 +73,19 @@ def main():
         "dropout_rng": jax.random.PRNGKey(0),
     }
 
-    def step(vars_, opt):
-        return dft.estimator_step(vars_, opt, batch, jnp.float32(cfg.w),
-                                  state.posenet, state.tx, True)
-
-    dt = timeit(step, state.pose_vars, state.opt_state, n=10)
+    # train steps donate their (vars, opt_state) buffers -> thread the state
+    vars_, opt = state.pose_vars, state.opt_state
+    vars_, opt, _ = dft.estimator_step(vars_, opt, batch, jnp.float32(cfg.w),
+                                       state.posenet, state.tx, True)
+    jax.block_until_ready(vars_)
+    t0 = time.perf_counter()
+    n_steps = 10
+    for _ in range(n_steps):
+        vars_, opt, metrics = dft.estimator_step(
+            vars_, opt, batch, jnp.float32(cfg.w), state.posenet, state.tx,
+            True)
+    jax.block_until_ready(metrics["loss"])
+    dt = (time.perf_counter() - t0) / n_steps
     emit("densefusion_train_step_seconds_bs8", dt, "sec/step")
     # reference: bs=1 forward+backward per sample, 8 samples per optimizer step
     emit("densefusion_train_samples_per_sec", b / dt, "samples/sec")

@@ -5,6 +5,12 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+
+def copy_tree(tree):
+    """Train steps donate their inputs; tests that reuse a state must pass a
+    fresh copy."""
+    return jax.tree_util.tree_map(jnp.copy, tree)
+
 from autoposeestimation_tpu.parallel import mesh as pmesh
 from autoposeestimation_tpu.train import densefusion as dft
 
@@ -35,7 +41,8 @@ def test_dp_matches_single_device():
     batch = make_batch(8, n, m, crop, num_obj)
 
     # single device
-    v1, o1, m1 = dft.estimator_step(state.pose_vars, state.opt_state, batch,
+    v1, o1, m1 = dft.estimator_step(copy_tree(state.pose_vars),
+                                    copy_tree(state.opt_state), batch,
                                     jnp.float32(cfg.w), state.posenet,
                                     state.tx, True)
 
@@ -45,8 +52,8 @@ def test_dp_matches_single_device():
         sb = pmesh.shard_batch(mesh, {k: v for k, v in batch.items()
                                       if k != "dropout_rng"})
         sb["dropout_rng"] = batch["dropout_rng"]
-        pv = pmesh.replicate_params(mesh, state.pose_vars)
-        po = pmesh.replicate_params(mesh, state.opt_state)
+        pv = pmesh.replicate_params(mesh, copy_tree(state.pose_vars))
+        po = pmesh.replicate_params(mesh, copy_tree(state.opt_state))
         v8, o8, m8 = dft.estimator_step(pv, po, sb, jnp.float32(cfg.w),
                                         state.posenet, state.tx, True)
 
@@ -64,7 +71,8 @@ def test_tp_sharding_correctness():
     state = dft.create_trainer(num_obj, cfg, crop=crop, dtype=jnp.float32)
     batch = make_batch(4, n, m, crop, num_obj, seed=3)
 
-    v1, _, m1 = dft.estimator_step(state.pose_vars, state.opt_state, batch,
+    v1, _, m1 = dft.estimator_step(copy_tree(state.pose_vars),
+                                   copy_tree(state.opt_state), batch,
                                    jnp.float32(cfg.w), state.posenet,
                                    state.tx, True)
 
@@ -73,8 +81,8 @@ def test_tp_sharding_correctness():
         sb = pmesh.shard_batch(mesh, {k: v for k, v in batch.items()
                                       if k != "dropout_rng"})
         sb["dropout_rng"] = batch["dropout_rng"]
-        pv = pmesh.shard_params_tp(mesh, state.pose_vars)
-        po = pmesh.shard_params_tp(mesh, state.opt_state)
+        pv = pmesh.shard_params_tp(mesh, copy_tree(state.pose_vars))
+        po = pmesh.shard_params_tp(mesh, copy_tree(state.opt_state))
         # wide kernels actually sharded over 'model'
         k = pv["params"]["PoseNetFeat_0"]["Dense_5"]["kernel"]
         assert "model" in str(k.sharding.spec)
@@ -108,13 +116,14 @@ def test_seg_train_step_dp():
     batch = {"image": jnp.asarray(rng.normal(size=(8, 32, 32, 3)), jnp.float32),
              "label": jnp.asarray(rng.integers(0, 3, (8, 32, 32)), jnp.int32)}
 
-    _, _, m1 = seg.train_step(variables, opt_state, batch, model, tx, 3)
+    _, _, m1 = seg.train_step(copy_tree(variables), copy_tree(opt_state),
+                              batch, model, tx, 3)
 
     mesh = pmesh.make_mesh(8, model_parallel=1)
     with mesh:
         sb = pmesh.shard_batch(mesh, batch)
-        pv = pmesh.replicate_params(mesh, variables)
-        po = pmesh.replicate_params(mesh, opt_state)
+        pv = pmesh.replicate_params(mesh, copy_tree(variables))
+        po = pmesh.replicate_params(mesh, copy_tree(opt_state))
         _, _, m8 = seg.train_step(pv, po, sb, model, tx, 3)
     np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]), rtol=2e-5)
     np.testing.assert_array_equal(np.asarray(m1["conf"]), np.asarray(m8["conf"]))
