@@ -100,3 +100,16 @@ def test_linemod_dataset(linemod_root):
     # target centered near gt translation (m)
     np.testing.assert_allclose(s["target"].mean(0), [0.01, -0.005, 0.82],
                                atol=0.02)
+
+
+def test_eval_linemod_driver(linemod_root):
+    import jax.numpy as jnp
+
+    from autoposeestimation_tpu.experiments import legacy_eval
+    from autoposeestimation_tpu.train import densefusion as dft
+
+    cfg = dft.DFConfig(num_points=80, num_points_mesh=100, batch_size=1)
+    state = dft.create_trainer(num_obj=1, cfg=cfg, crop=64, dtype=jnp.float32)
+    out = legacy_eval.eval_linemod(state, linemod_root, [1], batch_size=1)
+    assert "obj_01" in out
+    assert out["obj_01"]["hit"] + out["obj_01"]["miss"] == 1

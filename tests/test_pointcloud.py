@@ -87,3 +87,42 @@ def test_estimate_normals_plane():
     normals = np.asarray(pc.estimate_normals(jnp.asarray(pts), jnp.asarray(valid), k=10))
     nz = np.abs(normals[:200, 2])
     assert np.mean(nz > 0.99) > 0.95
+
+
+def test_voxel_downsample_matches_native_golden():
+    from autoposeestimation_tpu.ops import native
+
+    rng = np.random.default_rng(7)
+    pts_np = rng.uniform(0, 20, (400, 3)).astype(np.float32)
+    want = np.sort(native.voxel_downsample(pts_np, 2.5), axis=0)
+    pts, valid = make_padded(pts_np, 512)
+    out, ovalid = pc.voxel_downsample(jnp.asarray(pts), jnp.asarray(valid), 2.5)
+    k = int(np.sum(np.asarray(ovalid)))
+    got = np.sort(np.asarray(out)[:k], axis=0)
+    assert k == len(want)
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_radius_counts_match_native_golden():
+    from autoposeestimation_tpu.ops import native
+
+    rng = np.random.default_rng(8)
+    pts_np = rng.normal(size=(200, 3)).astype(np.float32)
+    counts = native.radius_neighbor_counts(pts_np, 0.5)
+    pts, valid = make_padded(pts_np, 256)
+    # replicate the op's internal count via its public keep decision
+    for nb in (1, int(np.median(counts))):
+        keep = pc.remove_radius_outliers(jnp.asarray(pts), jnp.asarray(valid),
+                                         nb, 0.5)
+        np.testing.assert_array_equal(np.asarray(keep)[:200], counts >= nb)
+
+
+def test_mean_knn_dists_match_native_golden():
+    from autoposeestimation_tpu.ops import native
+
+    rng = np.random.default_rng(9)
+    pts_np = rng.normal(size=(150, 3)).astype(np.float32)
+    want = native.mean_knn_dists(pts_np, 10)
+    pts, valid = make_padded(pts_np)
+    got = np.asarray(pc.mean_knn_dists(jnp.asarray(pts), jnp.asarray(valid), 10))
+    np.testing.assert_allclose(got, want, atol=1e-4)
