@@ -86,6 +86,8 @@ def linemod_root(tmp_path_factory):
         yaml.safe_dump(gt, f)
     with open(os.path.join(seq, "train.txt"), "w") as f:
         f.write("0000\n")
+    with open(os.path.join(seq, "test.txt"), "w") as f:
+        f.write("0000\n")
     return root
 
 
