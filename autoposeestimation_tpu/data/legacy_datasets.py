@@ -44,6 +44,8 @@ def _choose_and_backproject(depth, mask, intr_vec, cam_scale, num_pt, crop,
     rc = (np.where(rows)[0][[0, -1]].sum() + 1) // 2
     cc = (np.where(cols)[0][[0, -1]].sum() + 1) // 2
     h, w = mask.shape
+    crop = min(crop, h, w)
+    crop -= crop % 8
     r0 = int(np.clip(rc - crop // 2, 0, max(h - crop, 0)))
     c0 = int(np.clip(cc - crop // 2, 0, max(w - crop, 0)))
     win = valid[r0:r0 + crop, c0:c0 + crop]
@@ -63,7 +65,7 @@ def _choose_and_backproject(depth, mask, intr_vec, cam_scale, num_pt, crop,
     x = (dcol - ppx) * z / fx
     y = (drow - ppy) * z / fy
     cloud = np.stack([x, y, z], axis=1).astype(np.float32)
-    return cloud, choose.astype(np.int32), (r0, c0)
+    return cloud, choose.astype(np.int32), (r0, c0, crop)
 
 
 class YCBPoseDataset:
@@ -125,7 +127,7 @@ class YCBPoseDataset:
                                       self.num_pt, self.crop, self.rng)
         if out is None:
             return None
-        cloud, choose, (r0, c0) = out
+        cloud, choose, (r0, c0, crop) = out
         pose = meta["poses"][:, :, pick]
         target_r, target_t = pose[:, :3], pose[:, 3]
         model = self.cld[obj]
@@ -133,7 +135,7 @@ class YCBPoseDataset:
             keep = self.rng.choice(len(model), self.num_pt_mesh, replace=False)
             model = model[keep]
         target = model @ target_r.T + target_t
-        crop_img = img[r0:r0 + self.crop, c0:c0 + self.crop].astype(
+        crop_img = img[r0:r0 + crop, c0:c0 + crop].astype(
             np.float32) / 255.0
         crop_img = (crop_img - np.asarray(IMAGENET_MEAN)) / np.asarray(
             IMAGENET_STD)
@@ -200,13 +202,13 @@ class LineModPoseDataset:
                                       self.num_pt, self.crop, self.rng)
         if out is None:
             return None
-        cloud, choose, (r0, c0) = out
+        cloud, choose, (r0, c0, crop) = out
         model = self.cld[obj]
         if len(model) > self.num_pt_mesh:
             keep = self.rng.choice(len(model), self.num_pt_mesh, replace=False)
             model = model[keep]
         target = model @ target_r.T + target_t
-        crop_img = img[r0:r0 + self.crop, c0:c0 + self.crop].astype(
+        crop_img = img[r0:r0 + crop, c0:c0 + crop].astype(
             np.float32) / 255.0
         crop_img = (crop_img - np.asarray(IMAGENET_MEAN)) / np.asarray(
             IMAGENET_STD)
