@@ -8,7 +8,7 @@ largest timestamp gap to split foreground/foreground180) and fix_symmetric.py
 from __future__ import annotations
 
 import os
-from typing import Dict, List
+from typing import Dict
 
 import numpy as np
 

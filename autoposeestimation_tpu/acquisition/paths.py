@@ -11,10 +11,7 @@ from __future__ import annotations
 
 import json
 import os
-import time
 from typing import Callable, Dict, List, Optional
-
-import numpy as np
 
 
 def record_path(controller, input_fn: Callable[[str], str] = input,

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import os
 import random
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 from PIL import Image

@@ -8,7 +8,7 @@ the trainer uses.
 """
 from __future__ import annotations
 
-from typing import Callable, Dict, Iterable, Optional
+from typing import Callable, Dict, Iterable
 
 import numpy as np
 

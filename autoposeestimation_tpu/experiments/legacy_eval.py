@@ -9,7 +9,6 @@ files of the upstream scripts.
 """
 from __future__ import annotations
 
-import os
 from typing import Dict, List, Optional
 
 import numpy as np

@@ -11,7 +11,7 @@ import itertools
 import json
 import os
 import time
-from typing import Callable, Dict, List, Optional, Sequence
+from typing import Dict, Optional, Sequence
 
 import numpy as np
 

@@ -15,7 +15,7 @@ consumption sites (e.g. data_generation meta `hand_eye_calibration`).
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional
 
 import numpy as np
 

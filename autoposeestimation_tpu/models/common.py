@@ -3,7 +3,6 @@ from __future__ import annotations
 
 from typing import Tuple
 
-import jax
 import jax.numpy as jnp
 
 # ImageNet normalization used for all 3-channel model inputs

@@ -49,27 +49,6 @@ def _candidate_preds(pred_r, pred_t, points, model_points):
     return pred + (points + pred_t)[:, None, :]
 
 
-def _sym_min_dists(pred, target, chunk: int = 64):
-    """For symmetric objects: (N, M) distances to the nearest target point.
-
-    pred (N, M, 3), target (M, 3). Chunked over candidates to bound the
-    (chunk*M, M) distance block.
-    """
-    n, m, _ = pred.shape
-    tt = jnp.sum(target * target, axis=1)  # (M,)
-    pad = (-n) % chunk
-    pred_p = jnp.pad(pred, ((0, pad), (0, 0), (0, 0)))
-
-    def one(pc):
-        flat = pc.reshape(-1, 3)  # (chunk*M, 3)
-        pp = jnp.sum(flat * flat, axis=1, keepdims=True)
-        d2 = pp + tt[None, :] - 2.0 * jnp.dot(flat, target.T, precision=_HI)
-        return jnp.sqrt(jnp.maximum(jnp.min(d2, axis=1), 0.0)).reshape(pc.shape[:2])
-
-    out = jax.lax.map(one, pred_p.reshape(-1, chunk, m, 3))
-    return out.reshape(-1, m)[:n]
-
-
 def _pose_loss_single(pred_r, pred_t, pred_c, target, model_points, points,
                       w, is_sym, refine: bool, with_sym: bool):
     """One sample. pred_r (N,4), pred_t (N,3), pred_c (N,), target (M,3),

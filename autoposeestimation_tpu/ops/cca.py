@@ -21,7 +21,6 @@ reference's three component-selection rules (mean-score, area, sum-score).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

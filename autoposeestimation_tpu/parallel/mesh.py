@@ -16,7 +16,7 @@ this model scale (SURVEY.md §2.13).
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import numpy as np

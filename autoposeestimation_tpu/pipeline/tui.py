@@ -6,7 +6,7 @@ with multi-select ('done' sentinel, 'all' support) and True/False prompts.
 """
 from __future__ import annotations
 
-from typing import Callable, List, Optional, Sequence, Tuple
+from typing import Callable, List, Sequence, Tuple
 
 
 def get_selection(name: str, options: Sequence[str], multi: bool = False,

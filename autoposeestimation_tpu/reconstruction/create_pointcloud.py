@@ -20,7 +20,7 @@ All geometry in robot-frame mm, matching the on-disk contract.
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Sequence
+from typing import List, Optional
 
 import jax.numpy as jnp
 import numpy as np

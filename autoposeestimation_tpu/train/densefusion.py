@@ -25,8 +25,8 @@ from __future__ import annotations
 import functools
 import os
 import time
-from dataclasses import dataclass, field
-from typing import Any, Dict, Iterable, Optional
+from dataclasses import dataclass
+from typing import Any, Iterable, Optional
 
 import jax
 import jax.numpy as jnp

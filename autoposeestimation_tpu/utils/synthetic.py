@@ -15,7 +15,7 @@ with handEye = identity; depth PNGs are uint16 mm (depth_scale 0.001).
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
@@ -172,7 +172,6 @@ def make_dataset(root: str, objects: Sequence[SphereObject] = None,
     for obj in objects:
         # per-object scene: this object alone on the table (matches the
         # reference's one-object-per-scan acquisition)
-        runs = {"background": [], "foreground": []}
         for run, spheres in (("background", []), ("foreground", [obj])):
             run_dir = os.path.join(io.data_dir(root), obj.name, run)
             label_run_dir = os.path.join(io.label_dir(root), obj.name, run)
@@ -200,7 +199,6 @@ def make_dataset(root: str, objects: Sequence[SphereObject] = None,
                              np.round(depth).astype(np.uint16))
                 io.write_sample_meta(os.path.join(run_dir, stem + ".meta.json"),
                                      meta)
-                runs[run].append(stem)
                 if run == "foreground":
                     mask = ((owner == 0).astype(np.uint8)) * 255
                     for mode in ("gen", "pred", "new_pred"):
