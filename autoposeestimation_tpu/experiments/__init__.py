@@ -1,1 +1,1 @@
-from . import eval, gt_test  # noqa: F401
+from . import eval, gt_test, legacy_eval, sweeps  # noqa: F401

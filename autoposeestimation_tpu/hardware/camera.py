@@ -41,6 +41,29 @@ class DepthCamBase:
                 return False
         return True
 
+    def stream(self, max_frames: int = 0, show=None) -> int:
+        """Debug stream viewer (DepthCam.py `stream` parity): display frames
+        until failure or max_frames. `show(frames_dict)` is injectable;
+        defaults to matplotlib when available. Returns frames shown."""
+        if show is None:
+            def show(frames):
+                try:
+                    import matplotlib.pyplot as plt
+
+                    plt.imshow(frames["image"])
+                    plt.pause(0.01)
+                except Exception:
+                    pass
+
+        n = 0
+        while max_frames <= 0 or n < max_frames:
+            frames = self.get_frames()
+            if frames is None:
+                break
+            show(frames)
+            n += 1
+        return n
+
     def close(self) -> None:
         pass
 

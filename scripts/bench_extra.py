@@ -56,6 +56,29 @@ def main():
     dt = timeit(seg_fwd, seg_vars, x)
     emit("unet_segmentation_fps_640x480", 1.0 / dt, "frames/sec", 30.0)
 
+    # --- segmentation training step --------------------------------------
+    from autoposeestimation_tpu.train import segmentation as segtrain
+
+    seg_cfg = segtrain.SegConfig(classes=6, batch_size=4)
+    seg_tx = segtrain.make_tx(seg_cfg)
+    seg_model = segtrain.build_model(seg_cfg, dtype=jnp.bfloat16)
+    x480 = jnp.asarray(rng.normal(size=(4, 480, 480, 3)), jnp.float32)
+    seg_variables = dict(seg_model.init(jax.random.PRNGKey(0), x480))
+    seg_opt = seg_tx.init(seg_variables["params"])
+    seg_batch = {"image": x480,
+                 "label": jnp.asarray(rng.integers(0, 6, (4, 480, 480)),
+                                      jnp.int32)}
+    sv, so, _ = segtrain.train_step(seg_variables, seg_opt, seg_batch,
+                                    seg_model, seg_tx, 6)
+    jax.block_until_ready(so)
+    t0 = time.perf_counter()
+    for _ in range(10):
+        sv, so, sm = segtrain.train_step(sv, so, seg_batch, seg_model,
+                                         seg_tx, 6)
+    jax.block_until_ready(sm["loss"])
+    dt = (time.perf_counter() - t0) / 10
+    emit("unet_train_step_seconds_bs4_480", dt, "sec/step")
+
     # --- DenseFusion training step --------------------------------------
     cfg = dft.DFConfig()
     state = dft.create_trainer(num_obj=5, cfg=cfg, crop=320,

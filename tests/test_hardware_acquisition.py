@@ -224,3 +224,30 @@ def test_playback_camera(tmp_path):
     frames = [pc.get_frames() for _ in range(4)]
     assert sum(f is not None for f in frames) == 3
     assert pc.get_intrinsics().fx > 0
+
+
+def test_camera_stream_viewer():
+    _, _, _, fc = make_rig()
+    shown = []
+    n = fc.stream(max_frames=3, show=shown.append)
+    assert n == 3 and len(shown) == 3
+
+
+def test_view_data_script(tmp_path):
+    import subprocess
+    import sys as _sys
+
+    root = str(tmp_path)
+    synthetic.make_dataset(root, objects=[
+        synthetic.SphereObject("ball", np.asarray([0.0, 0.0, 30.0]), 30.0,
+                               (200, 0, 0))],
+        cfg=synthetic.SynthConfig(n_viewpoints=2))
+    dump = str(tmp_path / "panels")
+    out = subprocess.run(
+        [_sys.executable, os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "scripts", "view_data.py"),
+         root, "ball", "foreground", "--dump-dir", dump],
+        capture_output=True, text=True, timeout=120,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    assert out.returncode == 0, out.stderr
+    assert len(os.listdir(dump)) == 2
