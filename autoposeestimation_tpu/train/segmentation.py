@@ -247,7 +247,9 @@ def segmentation_training(train_loader: Callable[[], Iterable],
 
         if valid_iou > best_iou:
             best_iou = valid_iou
-            best_variables = variables
+            # deep copy: train_step donates its input buffers, so an alias
+            # would be invalidated by the next epoch's first step
+            best_variables = jax.tree_util.tree_map(jnp.copy, variables)
             checkpoints.save_checkpoint(
                 os.path.join(out_dir, ckpt_name), variables,
                 meta={"epoch": epoch, "valid_iou": valid_iou,
