@@ -33,9 +33,14 @@ def compute_metrics(pred: np.ndarray, gt: np.ndarray) -> Dict[str, float]:
 
 
 def select_samples_for_gt_test(root: str, objects: Sequence[str],
-                               p: float = 0.2, seed: int = 0) -> List[str]:
+                               p: float = 0.2, seed: int = 0,
+                               persist: bool = False) -> List[str]:
     """Deterministic-random p-fraction of frames per object run
-    (select_samples_for_gt_test.py parity). Returns 'obj/run/stem' list."""
+    (select_samples_for_gt_test.py parity). Returns 'obj/run/stem' list.
+
+    With `persist`, the selection is marked in each sample's acquisition
+    meta.json (`gt_test_sample: true`) like the reference, and previously
+    persisted selections are reused instead of re-sampling."""
     rng = random.Random(seed)
     selected = []
     for obj in objects:
@@ -44,9 +49,25 @@ def select_samples_for_gt_test(root: str, objects: Sequence[str],
                 continue
             run_dir = os.path.join(io.data_dir(root), obj, run)
             ids = io.list_sample_ids(run_dir)
-            k = max(int(len(ids) * p), 1)
-            for stem in sorted(rng.sample(ids, k)):
-                selected.append(f"{obj}/{run}/{stem}")
+            persisted = []
+            if persist:
+                for stem in ids:
+                    meta = io.read_sample_meta(
+                        os.path.join(run_dir, stem + ".meta.json"))
+                    if meta.get("gt_test_sample"):
+                        persisted.append(stem)
+            if persisted:
+                chosen = persisted
+            else:
+                k = max(int(len(ids) * p), 1)
+                chosen = sorted(rng.sample(ids, k))
+                if persist:
+                    for stem in chosen:
+                        path = os.path.join(run_dir, stem + ".meta.json")
+                        meta = io.read_sample_meta(path)
+                        meta["gt_test_sample"] = True
+                        io.write_sample_meta(path, meta)
+            selected.extend(f"{obj}/{run}/{stem}" for stem in chosen)
     return selected
 
 

@@ -64,6 +64,41 @@ def estimate_board_pose(image: np.ndarray, intr: io.Intrinsics,
     return tf
 
 
+def calibrate_camera_intrinsics(images, board=None,
+                                image_size=None) -> Optional[Dict]:
+    """Intrinsic calibration from ChArUco detections
+    (calib.py `read_chessboards` + `calibrate_camera` parity). Returns
+    {'intr': Intrinsics, 'rms': float} or None when too few detections."""
+    import cv2
+
+    if board is None:
+        board, _ = get_board()
+    detector = cv2.aruco.CharucoDetector(board)
+    all_obj, all_img = [], []
+    for image in images:
+        gray = (cv2.cvtColor(image, cv2.COLOR_RGB2GRAY)
+                if image.ndim == 3 else image)
+        if image_size is None:
+            image_size = (gray.shape[1], gray.shape[0])
+        corners, ids, _, _ = detector.detectBoard(gray)
+        if corners is None or ids is None or len(corners) < 6:
+            continue
+        obj_pts, img_pts = board.matchImagePoints(corners, ids)
+        if obj_pts is not None and len(obj_pts) >= 6:
+            all_obj.append(obj_pts)
+            all_img.append(img_pts)
+    if len(all_obj) < 3:
+        return None
+    rms, camera_matrix, dist, _, _ = cv2.calibrateCamera(
+        all_obj, all_img, image_size, None, None)
+    intr = io.Intrinsics(
+        width=image_size[0], height=image_size[1],
+        ppx=float(camera_matrix[0, 2]), ppy=float(camera_matrix[1, 2]),
+        fx=float(camera_matrix[0, 0]), fy=float(camera_matrix[1, 1]),
+        coeffs=[float(v) for v in np.asarray(dist).flatten()[:5]])
+    return {"intr": intr, "rms": float(rms)}
+
+
 # ---------------------------------------------------------------------------
 # AX = XB solver (Park & Martin 1994)
 # ---------------------------------------------------------------------------

@@ -66,27 +66,57 @@ class App:
                                  print_fn=self.print_fn)
 
     # -- 1. acquire --------------------------------------------------------
+    # the reference's full scan session (main.py:103-135): background + an
+    # upright foreground run + a 180-deg turn + three 90-deg turns about x/y
+    DEFAULT_RUNS = {
+        "background": {"a": 0, "b": 0, "c": 0},
+        "foreground": {"a": 0, "b": 0, "c": 0},
+        "foreground180": {"a": 0, "b": 0, "c": 180},
+        "foreground90": {"a": 90, "b": 0, "c": 0},
+        "foreground90_2": {"a": 90, "b": 0, "c": 90},
+        "foreground90_3": {"a": 90, "b": 0, "c": 180},
+    }
+
     def acquire_new_data_from_object(self, name: Optional[str] = None,
                                      path_data: Optional[Dict] = None,
-                                     runs: Optional[Dict] = None) -> int:
+                                     runs: Optional[Dict] = None,
+                                     symmetric: int = 0,
+                                     continue_at: Optional[str] = None,
+                                     with_turns: bool = False) -> int:
         """Background + foreground scan runs (reference main.py:24-144).
-        `runs` maps run name -> object_pose dict (turn declarations)."""
+        `runs` maps run name -> object_pose dict (turn declarations);
+        `continue_at` resumes the session at a named run (main.py:44-64)."""
         from .acquisition import get_data as gd
+        from .hardware import robot as robot_mod
 
         name = name or self.input_fn("object name> ").strip()
         camera = self.camera_factory()
         controller = self.controller_factory()
         hand_eye = self._load_hand_eye()
-        runs = runs or {
-            "background": {"a": 0, "b": 0, "c": 0},
-            "foreground": {"a": 0, "b": 0, "c": 0},
-        }
+        if runs is None:
+            runs = (dict(self.DEFAULT_RUNS) if with_turns else {
+                "background": {"a": 0, "b": 0, "c": 0},
+                "foreground": {"a": 0, "b": 0, "c": 0},
+            })
         total = 0
+        started = continue_at is None
         for run, object_pose in runs.items():
+            if not started:
+                if run == continue_at:
+                    started = True
+                else:
+                    continue
             if run != "background":
-                self.print_fn(f"place/turn object for run '{run}'")
+                self.print_fn(f"place/turn object for run '{run}' "
+                              f"(pose {object_pose})")
+            if not controller.is_home():
+                # each scan must start from home (reference getData.py:126)
+                controller.move_joints(np.deg2rad(
+                    np.asarray(robot_mod.HOME_JOINTS_DEG)))
+                while controller.is_moving():
+                    time.sleep(0.05)
             total += gd.get_data(camera, controller, path_data, self.root,
-                                 name, run, object_pose, symmetric=0,
+                                 name, run, object_pose, symmetric=symmetric,
                                  hand_eye_calibration=hand_eye)
         return total
 

@@ -164,6 +164,38 @@ def estimate_normals(points, valid, k: int = 30):
     return vecs[:, :, 0]
 
 
+def intersect_line_line(p1, d1, p2, d2):
+    """Closest points between two lines (point, direction) — the
+    mathutils.geometry.intersect_line_line replacement used by the
+    triangulation path (/root/reference/pc_reconstruction/open3d_utils.py:295-329).
+    Inputs may be (3,) or batched (..., 3); returns (point_on_line1,
+    point_on_line2)."""
+    d1 = d1 / jnp.maximum(jnp.linalg.norm(d1, axis=-1, keepdims=True), 1e-12)
+    d2 = d2 / jnp.maximum(jnp.linalg.norm(d2, axis=-1, keepdims=True), 1e-12)
+    r = p1 - p2
+    a = jnp.sum(d1 * d1, axis=-1)
+    b = jnp.sum(d1 * d2, axis=-1)
+    c = jnp.sum(d2 * d2, axis=-1)
+    d = jnp.sum(d1 * r, axis=-1)
+    e = jnp.sum(d2 * r, axis=-1)
+    denom = a * c - b * b
+    t1 = jnp.where(jnp.abs(denom) > 1e-12, (b * e - c * d) / denom, 0.0)
+    t2 = jnp.where(jnp.abs(denom) > 1e-12, (a * e - b * d) / denom, 0.0)
+    return p1 + t1[..., None] * d1, p2 + t2[..., None] * d2
+
+
+def triangulate_position(origins, directions):
+    """`get_new_position`-style triangulation: intersect every line pair
+    (camera ray toward the observed object center per view) and average the
+    midpoints (open3d_utils.py:317-326). origins/directions (V, 3)."""
+    v = origins.shape[0]
+    ii, jj = jnp.triu_indices(v, k=1)
+    a1, a2 = intersect_line_line(origins[ii], directions[ii],
+                                 origins[jj], directions[jj])
+    midpoints = a1 + (a2 - a1) / 2.0
+    return jnp.mean(midpoints, axis=0)
+
+
 def pad_bucket(points, min_size: int = 1024):
     """Host helper: pad to the next power-of-two bucket >= min_size so chains
     of cloud ops hit a bounded set of compiled shapes."""

@@ -183,6 +183,34 @@ def align_point_clouds(clouds: List[np.ndarray], min_friends: int,
     return target
 
 
+def get_surface_positions(root: str, object_name: str, run: str,
+                          min_friends: int, min_dist: float,
+                          nb_neighbors: int, mode: str = "gen",
+                          voxel_size: float = 5.0) -> np.ndarray:
+    """Per-sample (surface centroid, camera position) pairs in the robot
+    frame — the triangulation inputs of open3d_utils.py:332-382. Combine with
+    ops/pointcloud.triangulate_position to localize an object from views."""
+    label_root = os.path.join(io.label_dir(root), object_name, run)
+    data_root = os.path.join(io.data_dir(root), object_name, run)
+    positions = []
+    for fn in sorted(os.listdir(label_root)):
+        if not fn.endswith(f".{mode}.label.png"):
+            continue
+        stem = fn[: -len(f".{mode}.label.png")]
+        meta = io.read_sample_meta(os.path.join(data_root,
+                                                stem + ".meta.json"))
+        robot2cam = io.robot2cam_from_meta(meta)
+        depth = io.read_depth(os.path.join(
+            data_root, stem + ".depth.png")).astype(np.float64)
+        label = io.read_label(os.path.join(label_root, fn))
+        surface = get_surface(label, depth, meta["intr"], robot2cam,
+                              min_friends, min_dist, nb_neighbors, voxel_size)
+        if len(surface) == 0:
+            continue
+        positions.append([surface.mean(axis=0), robot2cam[:3, 3]])
+    return np.asarray(positions)
+
+
 def load_point_cloud(object_name: str, save_dir: str, root: str,
                      reference_point=np.zeros(3), mode: str = "gen",
                      n_viewpoints: int = 10, min_friends: int = 10,
