@@ -43,16 +43,26 @@ class DecoderBlock(nn.Module):
 
 class UNet(nn.Module):
     """U-Net resnet34. Input NHWC float (normalized); output logits NHWC
-    (classes last). H and W must be multiples of 32."""
+    (classes last). H and W must be multiples of 32.
+
+    `remat=True` rematerializes the encoder in the backward pass
+    (jax.checkpoint) — trades ~25% more FLOPs for dropping the encoder
+    activations from HBM, enabling larger batches at full 480x640 on a
+    16 GB chip."""
 
     classes: int
     decoder_channels: Sequence[int] = (256, 128, 64, 32, 16)
     encoder_stages: Sequence[int] = (3, 4, 6, 3)
     dtype: Dtype = jnp.bfloat16
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        feats = ResNetEncoder(self.encoder_stages, dtype=self.dtype)(x, train)
+        encoder_cls = (nn.remat(ResNetEncoder, static_argnums=(2,))
+                       if self.remat else ResNetEncoder)
+        # fixed module name: remat and plain variants share one param tree
+        feats = encoder_cls(self.encoder_stages, dtype=self.dtype,
+                            name="ResNetEncoder_0")(x, train)
         # skips, deepest first: [/16, /8, /4, /2], then None at full res
         skips = [feats[3], feats[2], feats[1], feats[0], None]
         y = feats[4]

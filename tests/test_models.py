@@ -116,3 +116,24 @@ def test_normalize_imagenet():
     out = np.asarray(common.normalize_imagenet(img))
     want = (1.0 - np.asarray(common.IMAGENET_MEAN)) / np.asarray(common.IMAGENET_STD)
     np.testing.assert_allclose(out[0, 0], want, atol=1e-6)
+
+
+def test_unet_remat_matches_plain():
+    """remat=True must be numerically identical (forward and gradient)."""
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 64, 64, 3))
+    plain = unet.UNet(classes=3, dtype=jnp.float32)
+    remat = unet.UNet(classes=3, dtype=jnp.float32, remat=True)
+    variables = plain.init(jax.random.PRNGKey(1), x)
+    y1 = plain.apply(variables, x)
+    y2 = remat.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-5)
+
+    def loss(m, v):
+        out, _ = m.apply(v, x, train=True, mutable=["batch_stats"])
+        return jnp.sum(out ** 2)
+
+    g1 = jax.grad(lambda v: loss(plain, v))(variables)
+    g2 = jax.grad(lambda v: loss(remat, v))(variables)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
