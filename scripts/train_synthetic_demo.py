@@ -1,0 +1,147 @@
+"""Full-loop demonstration on the attached TPU: generate a synthetic scanned
+dataset, train segmentation + DenseFusion, evaluate ADD(-S), and serve through
+the fused pipeline with the trained weights.
+
+Writes demo workspace + results JSON under --out (default /tmp/autopose_demo)
+and prints one JSON line per stage result.
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--out", default="/tmp/autopose_demo")
+    parser.add_argument("--seg-epochs", type=int, default=10)
+    parser.add_argument("--pose-epochs", type=int, default=12)
+    args = parser.parse_args()
+
+    from autoposeestimation_tpu.data import (loader, pose_dataset,
+                                             segmentation_dataset)
+    from autoposeestimation_tpu.experiments import eval as eval_mod
+    from autoposeestimation_tpu.pipeline import predict
+    from autoposeestimation_tpu.train import (densefusion as dft,
+                                              segmentation as seg)
+    from autoposeestimation_tpu.utils import io, synthetic
+
+    root = args.out
+    os.makedirs(root, exist_ok=True)
+    results = {}
+
+    center = np.asarray([20.0, -10.0, 35.0])
+    if not io.list_objects(root):
+        synthetic.make_dataset(root, objects=[
+            synthetic.SphereObject("ball", center, 35.0, (210, 40, 40),
+                                   symmetric=1,
+                                   parts=(((25.0, 25.0, 25.0), 15.0),))],
+            cfg=synthetic.SynthConfig(n_viewpoints=16))
+
+    # --- segmentation training ------------------------------------------
+    t0 = time.time()
+    train_ds = segmentation_dataset.SegmentationDataset(
+        root, "synth", mode="train", label_mode="gen", output_size=64)
+    valid_ds = segmentation_dataset.SegmentationDataset(
+        root, "synth", mode="test", label_mode="gen")
+    cfg = seg.SegConfig(classes=2, epochs=args.seg_epochs, batch_size=4,
+                        lr=3e-3)
+    seg_out = seg.segmentation_training(
+        lambda: loader.Loader(train_ds, 4, seed=0),
+        lambda: loader.Loader(valid_ds, 4, shuffle=False, drop_last=False),
+        cfg, out_dir=os.path.join(root, "segmentation", "trained_models",
+                                  "synth"),
+        dtype=jnp.bfloat16, sample_shape=(64, 64))
+    results["segmentation"] = {
+        "best_valid_miou": round(seg_out["best_iou"], 4),
+        "epochs": args.seg_epochs,
+        "seconds": round(time.time() - t0, 1),
+    }
+    print(json.dumps({"stage": "segmentation", **results["segmentation"]}),
+          flush=True)
+
+    # --- DenseFusion training ---------------------------------------------
+    t0 = time.time()
+    dcfg = dft.DFConfig(batch_size=4, num_points=200, num_points_mesh=250,
+                        lr=1e-4, refine_epoch_margin=max(args.pose_epochs - 4,
+                                                         2))
+    state = dft.create_trainer(num_obj=1, cfg=dcfg, crop=64,
+                               dtype=jnp.bfloat16)
+    ptrain = pose_dataset.PoseDataset(root, "synth", mode="train",
+                                      num_pt=200, num_pt_mesh=250, crop=64,
+                                      add_noise=False)
+    ptest = pose_dataset.PoseDataset(root, "synth", mode="test", num_pt=200,
+                                     num_pt_mesh=250, crop=64)
+    state = dft.train(
+        state,
+        lambda: loader.Loader(ptrain, 4, seed=0),
+        lambda: loader.Loader(ptest, 4, shuffle=False, drop_last=False),
+        out_dir=os.path.join(root, "DenseFusion", "trained_models", "synth"),
+        epochs=args.pose_epochs + 1)
+    results["pose_training"] = {
+        "best_test_add_m": round(state.best_test, 5),
+        "refine_phase_reached": state.refine_start,
+        "epochs": args.pose_epochs,
+        "seconds": round(time.time() - t0, 1),
+    }
+    print(json.dumps({"stage": "pose_training", **results["pose_training"]}),
+          flush=True)
+
+    # --- ADD(-S) eval -------------------------------------------------------
+    add = eval_mod.evaluate(
+        state, lambda: loader.Loader(ptest, 4, shuffle=False,
+                                     drop_last=False),
+        ["ball"], refine=state.refine_start, iteration=dcfg.iteration)
+    results["eval"] = add
+    print(json.dumps({"stage": "eval", "overall": add["overall"],
+                      "ball": {k: add["ball"][k] for k in ("dis", "p")}}),
+          flush=True)
+
+    # --- trained serving fps ------------------------------------------------
+    model_cloud = io.read_xyz(os.path.join(io.pc_dir(root), "ball",
+                                           "ball.xyz")) / 1000.0
+    models = predict.build_models(
+        num_classes_fg=1, model_points=model_cloud[None, :500],
+        classes=("ball",), seg_vars=seg_out["variables"],
+        pose_vars=state.pose_vars, refine_vars=state.refine_vars,
+        num_points=200, crop=64,
+        refine_iters=dcfg.iteration if state.refine_start else 0,
+        dtype=jnp.bfloat16, img_hw=(128, 160))
+    run_dir = os.path.join(io.data_dir(root), "ball", "foreground")
+    meta = io.read_sample_meta(os.path.join(run_dir, "000002.meta.json"))
+    image = io.read_color(os.path.join(run_dir, "000002.color.png"))
+    depth = io.read_depth(os.path.join(run_dir,
+                                       "000002.depth.png")).astype(np.float32)
+    out = predict.full_prediction(image, depth, meta, models,
+                                  key=jax.random.PRNGKey(0))
+    found = "ball" in out["predictions"]
+    err = None
+    if found:
+        robot2cam = io.robot2cam_from_meta(meta)
+        gt_cam = (np.linalg.inv(robot2cam)
+                  @ np.append(center, 1.0))[:3] / 1000.0
+        err = float(np.linalg.norm(
+            out["predictions"]["ball"]["position"] - gt_cam))
+    t0 = time.time()
+    n = 30
+    for i in range(n):
+        out = predict.full_prediction(image, depth, meta, models,
+                                      key=jax.random.PRNGKey(i))
+    fps = n / (time.time() - t0)
+    results["serving"] = {"object_found": found,
+                          "position_error_m": err,
+                          "fps_host_loop": round(fps, 1)}
+    print(json.dumps({"stage": "serving", **results["serving"]}), flush=True)
+
+    io.write_json(os.path.join(root, "demo_results.json"), results)
+
+
+if __name__ == "__main__":
+    main()
