@@ -94,15 +94,28 @@ def main():
     print(json.dumps({"stage": "pose_training", **results["pose_training"]}),
           flush=True)
 
-    # --- ADD(-S) eval -------------------------------------------------------
-    add = eval_mod.evaluate(
+    # --- ADD(-S) eval: estimator-only and with refinement --------------------
+    # (a briefly-trained refiner can hurt; the reference only engages it after
+    # hundreds of epochs at ADD < 0.01)
+    add_est = eval_mod.evaluate(
         state, lambda: loader.Loader(ptest, 4, shuffle=False,
                                      drop_last=False),
-        ["ball"], refine=state.refine_start, iteration=dcfg.iteration)
-    results["eval"] = add
-    print(json.dumps({"stage": "eval", "overall": add["overall"],
-                      "ball": {k: add["ball"][k] for k in ("dis", "p")}}),
-          flush=True)
+        ["ball"], refine=False)
+    add_ref = add_est
+    if state.refine_start:
+        add_ref = eval_mod.evaluate(
+            state, lambda: loader.Loader(ptest, 4, shuffle=False,
+                                         drop_last=False),
+            ["ball"], refine=True, iteration=dcfg.iteration)
+    use_refine = (state.refine_start
+                  and add_ref["ball"]["dis"] <= add_est["ball"]["dis"])
+    results["eval"] = {"estimator_only": add_est, "with_refine": add_ref,
+                       "use_refine": use_refine}
+    print(json.dumps({"stage": "eval",
+                      "estimator_add_m": add_est["ball"]["dis"],
+                      "refined_add_m": add_ref["ball"]["dis"],
+                      "p_lt_2cm": add_est["ball"]["p"],
+                      "use_refine": use_refine}), flush=True)
 
     # --- trained serving fps ------------------------------------------------
     model_cloud = io.read_xyz(os.path.join(io.pc_dir(root), "ball",
@@ -112,7 +125,7 @@ def main():
         classes=("ball",), seg_vars=seg_out["variables"],
         pose_vars=state.pose_vars, refine_vars=state.refine_vars,
         num_points=200, crop=64,
-        refine_iters=dcfg.iteration if state.refine_start else 0,
+        refine_iters=dcfg.iteration if use_refine else 0,
         dtype=jnp.bfloat16, img_hw=(128, 160))
     run_dir = os.path.join(io.data_dir(root), "ball", "foreground")
     meta = io.read_sample_meta(os.path.join(run_dir, "000002.meta.json"))
@@ -129,6 +142,9 @@ def main():
                   @ np.append(center, 1.0))[:3] / 1000.0
         err = float(np.linalg.norm(
             out["predictions"]["ball"]["position"] - gt_cam))
+    # NOTE: the host loop blocks on the tunneled chip every frame, so this
+    # measures tunnel round-trip latency, not device throughput (bench.py
+    # pipelines dispatches and measures the device).
     t0 = time.time()
     n = 30
     for i in range(n):
@@ -137,7 +153,7 @@ def main():
     fps = n / (time.time() - t0)
     results["serving"] = {"object_found": found,
                           "position_error_m": err,
-                          "fps_host_loop": round(fps, 1)}
+                          "fps_host_loop_tunnel_bound": round(fps, 1)}
     print(json.dumps({"stage": "serving", **results["serving"]}), flush=True)
 
     io.write_json(os.path.join(root, "demo_results.json"), results)
