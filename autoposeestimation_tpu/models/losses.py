@@ -57,7 +57,8 @@ def _pose_loss_single(pred_r, pred_t, pred_c, target, model_points, points,
 
     per_point = jnp.linalg.norm(pred - target[None, :, :], axis=2)  # (N, M)
     dis = jnp.mean(per_point, axis=1)  # (N,)
-    std = jnp.std(per_point, axis=1)   # (N,)
+    # sample std (ddof=1): the reference's torch.std default (lib/loss.py:52)
+    std = jnp.std(per_point, axis=1, ddof=1)   # (N,)
     if with_sym and not refine:
         # fused matched-moments kernel (Pallas on TPU, chunked XLA elsewhere)
         from ..ops import pallas_addloss

@@ -58,7 +58,7 @@ def _point2plane_step(src, tgt, normals, weights):
     res = jnp.sum((src - tgt) * normals, axis=1)  # (N,)
     w = weights[:, None]
     a = jnp.einsum("ni,nj->ij", jac * w, jac, precision=_HI)
-    b = -jnp.einsum("ni,n->i", jac * w, res * weights, precision=_HI)
+    b = -jnp.einsum("ni,n->i", jac * w, res, precision=_HI)
     a = a + jnp.eye(6, dtype=a.dtype) * 1e-9
     x = jnp.linalg.solve(a, b)
     rot = T.euler_to_mat(x[0], x[1], x[2])

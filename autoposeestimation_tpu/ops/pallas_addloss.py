@@ -17,9 +17,14 @@ propagates exact gradients to (quat, trans): for matched pairs,
 d dis_c / d pred_ci = (pred_ci - target_match) / (M * ||pred_ci - target_match||),
 chain-ruled through pred = model @ R(q)^T + (point + t) analytically.
 
-`sym_moments` returns (dis (N,), std (N,)) = mean/stddev over model
-points of the matched distances per candidate — exactly what pose_loss
-consumes for symmetric objects.
+`sym_moments` returns (dis (N,), std (N,)) = mean/sample-stddev (ddof=1,
+matching the reference's torch.std at lib/loss.py:52) over model points of
+the matched distances per candidate — exactly what pose_loss consumes for
+symmetric objects.
+
+The non-TPU forward fallback and the backward recompute are chunked over
+candidates (lax.map of vmapped chunks) so only one (chunk, M, M) distance
+tile is ever live — at reference defaults the unchunked tensor is ~32 GB.
 """
 from __future__ import annotations
 
@@ -161,31 +166,59 @@ def _moments_fwd(rot, pred_t, model_points, target, interpret=False):
     return dis.reshape(-1)[:n], sq.reshape(-1)[:n]
 
 
-def _xla_match(rot, pred_t, model_points, target):
-    """Reference XLA computation (also the backward's recompute): returns
-    (pred (N, M, 3), matched target (N, M, 3), dmin (N, M))."""
-    pred = jnp.einsum("mj,nij->nmi", model_points, rot, precision=_HI) \
-        + pred_t[:, None, :]
+# Bound on the (chunk, M, M) distance-tile footprint of the chunked XLA
+# paths: chunk * M^2 <= 2^24 f32 elements (~64 MB). At reference defaults
+# (N=1000 candidates x batch 8, M=1000 mesh points) the un-chunked tensor
+# would be ~32 GB — far past HBM.
+_CHUNK_ELEMS = 1 << 24
+
+
+def _chunk_size(n: int, m: int) -> int:
+    return max(1, min(n, _CHUNK_ELEMS // max(m * m, 1)))
+
+
+def _map_chunked(per_item_fn, args, n: int, chunk: int):
+    """vmap(per_item_fn) over leading-axis chunks via lax.map, bounding live
+    memory to one chunk's intermediates. Zero-pads to a chunk multiple
+    (zero quats map to the identity rotation), unpads the outputs."""
+    pad = (-n) % chunk
+
+    def prep(x):
+        x = jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+        return x.reshape(((n + pad) // chunk, chunk) + x.shape[1:])
+
+    out = jax.lax.map(lambda c: jax.vmap(per_item_fn)(*c),
+                      tuple(prep(a) for a in args))
+    return jax.tree_util.tree_map(
+        lambda o: o.reshape((-1,) + o.shape[2:])[:n], out)
+
+
+def _dmin_candidate(rot, pred_t, model_points, target):
+    """One candidate's matched distances (M,): min over targets of
+    ||model @ R^T + t - target||."""
+    pred = jnp.dot(model_points, rot.T, precision=_HI) + pred_t  # (M, 3)
     tt = jnp.sum(target * target, axis=1)
-    pp = jnp.sum(pred * pred, axis=2)
-    cross = jnp.einsum("nmi,ki->nmk", pred, target, precision=_HI)
-    d2 = pp[:, :, None] + tt[None, None, :] - 2.0 * cross
-    idx = jnp.argmin(d2, axis=2)
-    matched = target[idx]
-    dmin = jnp.sqrt(jnp.maximum(jnp.take_along_axis(
-        d2, idx[:, :, None], axis=2)[:, :, 0], 0.0))
-    return pred, matched, dmin
+    pp = jnp.sum(pred * pred, axis=1)
+    d2 = pp[:, None] + tt[None, :] - 2.0 * jnp.dot(pred, target.T,
+                                                   precision=_HI)
+    return jnp.sqrt(jnp.maximum(jnp.min(d2, axis=1), 0.0))
 
 
 def _moments_core(quat, trans, points, model_points, target, use_pallas):
     rot = T.quat_to_mat(quat)
     pred_t = points + trans
+    n, m = rot.shape[0], model_points.shape[0]
+    # sample std (ddof=1) matches torch.std in the reference loss
+    # (/root/reference/DenseFusion/lib/loss.py:52)
+    bessel = m / max(m - 1, 1)
     if use_pallas and _HAS_PALLAS and jax.default_backend() == "tpu":
         dis, sq = _moments_fwd(rot, pred_t, model_points, target)
-        var = jnp.maximum(sq - dis * dis, 0.0)
+        var = jnp.maximum(sq - dis * dis, 0.0) * bessel
         return dis, jnp.sqrt(var)
-    _, _, dmin = _xla_match(rot, pred_t, model_points, target)
-    return jnp.mean(dmin, axis=1), jnp.std(dmin, axis=1)
+    dmin = _map_chunked(
+        lambda r, pt: _dmin_candidate(r, pt, model_points, target),
+        (rot, pred_t), n, _chunk_size(n, m))
+    return jnp.mean(dmin, axis=1), jnp.std(dmin, axis=1, ddof=1)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
@@ -205,6 +238,7 @@ def _sym_moments_bwd(use_pallas, res, grads):
     quat, trans, points, model_points, target, (dis, std) = res
     g_dis, g_std = grads
     m = model_points.shape[0]
+    n = quat.shape[0]
 
     def per_candidate(q, t, p, gd, gs, dis_c, std_c):
         rot = T.quat_to_mat(q)
@@ -216,18 +250,22 @@ def _sym_moments_bwd(use_pallas, res, grads):
         matched = target[idx]
         diff = pred - matched
         dmin = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=1), 1e-24))
-        # d dis/d pred_i = diff_i/(M*dmin_i); d std/d pred_i =
-        # (dmin_i - dis)/(M*std) * diff_i/dmin_i
+        # d dis/d pred_i = diff_i/(M*dmin_i); sample std (ddof=1):
+        # d std/d pred_i = (dmin_i - dis)/((M-1)*std) * diff_i/dmin_i
         w_dis = gd / m
-        w_std = gs * (dmin - dis_c) / (m * jnp.maximum(std_c, 1e-12))
+        w_std = gs * (dmin - dis_c) / (max(m - 1, 1)
+                                       * jnp.maximum(std_c, 1e-12))
         g_pred = diff / dmin[:, None] * (w_dis + w_std)[:, None]  # (M, 3)
         g_t = jnp.sum(g_pred, axis=0)
         g_rot = jnp.einsum("mi,mj->ij", g_pred, model_points, precision=_HI)
         g_q = jax.grad(lambda qq: jnp.sum(T.quat_to_mat(qq) * g_rot))(q)
         return g_q, g_t, g_t  # d/d trans == d/d points == g_t
 
-    g_q, g_t, g_p = jax.vmap(per_candidate)(quat, trans, points, g_dis,
-                                            g_std, dis, std)
+    # chunked argmin recompute: each chunk rebuilds only a (chunk, M, M)
+    # distance tile, never the full (N, M, M)
+    g_q, g_t, g_p = _map_chunked(
+        per_candidate, (quat, trans, points, g_dis, g_std, dis, std),
+        n, _chunk_size(n, m))
     return g_q, g_t, g_p, None, None
 
 

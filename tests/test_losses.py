@@ -31,7 +31,7 @@ def ref_loss_numpy(pred_r, pred_t, pred_c, target, model_points, points, w,
     else:
         per = np.linalg.norm(pred - tgt, axis=2)
     dis = per.mean(axis=1)
-    std = per.std(axis=1)
+    std = per.std(axis=1, ddof=1)  # torch.std default (lib/loss.py:52)
     loss = np.mean((dis + 2 * std) * pred_c - w * np.log(pred_c))
     which = np.argmax(pred_c)
     t_best = points[which] + pred_t[which]

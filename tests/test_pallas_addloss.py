@@ -26,7 +26,8 @@ def reference_moments(quat, trans, points, model, target):
     d = jnp.linalg.norm(pred[:, :, None, :] - target[None, None, :, :],
                         axis=-1)
     dmin = jnp.min(d, axis=2)
-    return jnp.mean(dmin, axis=1), jnp.std(dmin, axis=1)
+    # ddof=1: torch.std parity (reference lib/loss.py:52)
+    return jnp.mean(dmin, axis=1), jnp.std(dmin, axis=1, ddof=1)
 
 
 def test_xla_path_matches_direct():
@@ -48,7 +49,8 @@ def test_pallas_interpret_matches():
     want_dis, want_std = reference_moments(quat, trans, points, model, target)
     np.testing.assert_allclose(np.asarray(dis_p), np.asarray(want_dis),
                                atol=1e-5)
-    var = np.maximum(np.asarray(sq_p) - np.asarray(dis_p) ** 2, 0)
+    m = model.shape[0]
+    var = np.maximum(np.asarray(sq_p) - np.asarray(dis_p) ** 2, 0) * m / (m - 1)
     np.testing.assert_allclose(np.sqrt(var), np.asarray(want_std), atol=1e-4)
 
 
@@ -67,6 +69,26 @@ def test_custom_vjp_matches_autodiff():
     ga = jax.grad(loss_auto, argnums=(0, 1, 2))(quat, trans, points)
     for a, b in zip(gc, ga):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_chunked_paths_match_unchunked(monkeypatch):
+    """Forcing tiny chunks (several lax.map iterations) must not change the
+    forward moments or the backward grads — the memory-bounding fix for the
+    (N, M, M) blow-up is purely a scheduling change."""
+    quat, trans, points, model, target = inputs(4, n=23, m=11)
+
+    def loss(q, t, p):
+        dis, std = pa.sym_moments(q, t, p, model, target, False)
+        return jnp.sum(dis * 1.3 + std * 0.7)
+
+    want = loss(quat, trans, points)
+    gwant = jax.grad(loss, argnums=(0, 1, 2))(quat, trans, points)
+    monkeypatch.setattr(pa, "_CHUNK_ELEMS", 5 * 11 * 11)  # chunk=5 over n=23
+    got = loss(quat, trans, points)
+    ggot = jax.grad(loss, argnums=(0, 1, 2))(quat, trans, points)
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-6)
+    for a, b in zip(ggot, gwant):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
 def test_vjp_under_vmap():
