@@ -1,0 +1,227 @@
+"""Golden parity vs the reference's own importable numpy/cv2 code.
+
+Like test_torch_import does for the networks, these tests run the actual
+reference implementations (pure numpy/cv2, imported from /root/reference) next
+to our jitted ops and diff the outputs:
+
+  * createLabel_RGBD   (/root/reference/label_generator/utils.py:45-364)
+  * do_cca             (/root/reference/background_subtraction/utils.py:199-223)
+  * get_bbox           (/root/reference/DenseFusion/datasets/myDatasetAugmented/
+                        dataset.py:342-380)
+
+RGB mode is bit-exact (no HSV rounding, scores < 256 so the reference's uint8
+wrap cannot trigger). HSV/both modes allow a small pixel tolerance for the
+cv2 fixed-point vs float HSV rounding (documented in ops/bg_subtraction.py).
+"""
+import ast
+import importlib.util
+import os
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+os.environ.setdefault("MPLBACKEND", "Agg")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from autoposeestimation_tpu.ops import bg_subtraction, cca as cca_ops  # noqa: E402
+from autoposeestimation_tpu.ops import projection  # noqa: E402
+
+REF = "/root/reference"
+
+
+# The reference predates numpy 1.25: `pos != []` on an (N, 2) array used to
+# warn-and-compare, now raises. Semantically it guarded "any valid depth
+# pixel"; patch just that predicate so the original code runs unmodified
+# otherwise.
+_COMPAT = {"if pos != []:": "if len(pos) != 0:"}
+
+
+def load_ref_module(name, rel):
+    path = os.path.join(REF, rel)
+    with open(path) as f:
+        src = f.read()
+    for old, new in _COMPAT.items():
+        src = src.replace(old, new)
+    import types
+
+    mod = types.ModuleType(name)
+    mod.__file__ = path
+    exec(compile(src, path, "exec"), mod.__dict__)
+    return mod
+
+
+def extract_ref_source(rel, names, globals_ns):
+    """Exec only the named top-level defs/assigns from a reference file whose
+    module-level imports are too heavy to load wholesale (torchvision, smp,
+    open3d are not installed here)."""
+    with open(os.path.join(REF, rel)) as f:
+        src = f.read()
+    tree = ast.parse(src)
+    picked = []
+    for node in tree.body:
+        if isinstance(node, ast.FunctionDef) and node.name in names:
+            picked.append(ast.get_source_segment(src, node))
+        elif isinstance(node, ast.Assign) and any(
+                isinstance(t, ast.Name) and t.id in names
+                for t in node.targets):
+            picked.append(ast.get_source_segment(src, node))
+    ns = dict(globals_ns)
+    exec("\n\n".join(picked), ns)
+    return ns
+
+
+@pytest.fixture(scope="module")
+def ref_label_utils():
+    return load_ref_module("ref_lg_utils", "label_generator/utils.py")
+
+
+def make_scene(seed, h=120, w=160, measure=600.0):
+    """Synthetic tabletop frame pair: textured background, one clear object,
+    one distractor blob, depth holes in the center to force the plane fill."""
+    rng = np.random.default_rng(seed)
+    bg = np.clip(rng.normal(120, 10, (h, w, 3)), 0, 255).astype(np.uint8)
+    fg = bg.copy()
+    bg_d = np.clip(rng.normal(measure, 8, (h, w)), 0, 2000)
+    bg_d[rng.random((h, w)) < 0.02] = 0.0
+    fg_d = bg_d + rng.normal(0, 2, (h, w))
+    fg_d[bg_d == 0] = 0.0
+
+    yy, xx = np.mgrid[0:h, 0:w]
+    cy = h // 2 + int(rng.integers(-10, 10))
+    cx = w // 2 + int(rng.integers(-15, 15))
+    obj = ((yy - cy) / 22.0) ** 2 + ((xx - cx) / 30.0) ** 2 <= 1.0
+    color = rng.integers(0, 255, 3)
+    fg[obj] = np.clip(0.15 * fg[obj] + 0.85 * color, 0, 255).astype(np.uint8)
+    fg_d[obj] = measure - 80 + rng.normal(0, 2, int(obj.sum()))
+
+    blob = ((yy - h // 5) / 6.0) ** 2 + ((xx - w // 5) / 6.0) ** 2 <= 1.0
+    fg[blob] = 255 - fg[blob]
+    fg_d[blob] = measure - 60
+    return bg, fg, bg_d.astype(np.float64), fg_d.astype(np.float64), measure
+
+
+MODES = [
+    pytest.param(dict(hsv=False, both=False), id="rgb"),
+    pytest.param(dict(hsv=True, both=False), id="hsv"),
+    pytest.param(dict(hsv=False, both=True), id="both"),
+]
+
+
+@pytest.mark.parametrize("mode", MODES)
+@pytest.mark.parametrize("remove_one_std", [False, True])
+@pytest.mark.parametrize("seed", [0, 1])
+def test_create_label_rgbd_golden(ref_label_utils, mode, remove_one_std, seed):
+    bg, fg, bg_d, fg_d, measure = make_scene(seed)
+    # reference main-flow hyperparams (main.py:167-185): threshold 30, open 6,
+    # close 6; it mutates its depth args in place -> pass copies
+    want = ref_label_utils.createLabel_RGBD(
+        bg.copy(), fg.copy(), bg_d.copy(), fg_d.copy(),
+        threshold=30, min_size=100, open=6, close=6,
+        remove_one_std=remove_one_std, measure_dist=measure, **mode)
+    got = np.asarray(bg_subtraction.create_label_rgbd(
+        jnp.asarray(bg), jnp.asarray(fg), jnp.asarray(bg_d, jnp.float32),
+        jnp.asarray(fg_d, jnp.float32), jnp.float32(measure),
+        threshold=30.0, min_size=100, open_k=6, close_k=6,
+        remove_one_std=remove_one_std, **mode))
+    assert want.shape == got.shape and want.dtype == got.dtype
+    agree = float((want == got).mean())
+    if not (mode["hsv"] or mode["both"]):
+        # RGB scores are exact integers < 256: bit-exact parity required
+        np.testing.assert_array_equal(got, want)
+    else:
+        # cv2 fixed-point HSV vs float HSV: +-1 hue/sat rounding may flip
+        # threshold-marginal pixels
+        assert agree >= 0.995, f"mask agreement {agree:.4f}"
+
+
+def test_create_label_rgbd_golden_no_object(ref_label_utils):
+    """Empty-scene failure mode: both must fall back to the background
+    component (reference j=0 path)."""
+    bg, _, bg_d, _, measure = make_scene(5)
+    want = ref_label_utils.createLabel_RGBD(
+        bg.copy(), bg.copy(), bg_d.copy(), bg_d.copy(),
+        threshold=30, min_size=100, open=6, close=6,
+        measure_dist=measure, hsv=False, both=True)
+    got = np.asarray(bg_subtraction.create_label_rgbd(
+        jnp.asarray(bg), jnp.asarray(bg), jnp.asarray(bg_d, jnp.float32),
+        jnp.asarray(bg_d, jnp.float32), jnp.float32(measure),
+        threshold=30.0, min_size=100, open_k=6, close_k=6,
+        hsv=False, both=True))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_do_cca_golden():
+    import torch
+
+    ns = extract_ref_source(
+        "background_subtraction/utils.py", {"do_cca"},
+        {"np": np, "cv2": cv2, "torch": torch, "F": torch.nn.functional})
+    rng = np.random.default_rng(0)
+    for c in (2, 3):
+        logits = rng.normal(size=(2, c, 40, 50)).astype(np.float32)
+        for b in range(2):
+            for ch in range(c):
+                logits[b, ch] = cv2.GaussianBlur(logits[b, ch], (11, 11), 3) * 8
+        want = ns["do_cca"](torch.from_numpy(logits), cuda=False)
+        probs = jax.nn.softmax(jnp.asarray(logits), axis=1)
+        for b in range(logits.shape[0]):
+            mask = jnp.argmax(probs[b], axis=0) > 0
+            maxprob = jnp.max(probs[b], axis=0)
+            comp, _ = cca_ops.best_component_mask(mask, maxprob, 0.0, "sum")
+            np.testing.assert_array_equal(
+                np.asarray(comp, np.float64), want[b],
+                err_msg=f"c={c} b={b}")
+
+
+def test_do_cca_golden_all_background():
+    import torch
+
+    ns = extract_ref_source(
+        "background_subtraction/utils.py", {"do_cca"},
+        {"np": np, "cv2": cv2, "torch": torch, "F": torch.nn.functional})
+    logits = np.zeros((1, 2, 20, 20), np.float32)
+    logits[:, 0] = 5.0  # background wins everywhere
+    want = ns["do_cca"](torch.from_numpy(logits), cuda=False)
+    probs = jax.nn.softmax(jnp.asarray(logits), axis=1)
+    mask = jnp.argmax(probs[0], axis=0) > 0
+    comp, found = cca_ops.best_component_mask(
+        mask, jnp.max(probs[0], axis=0), 0.0, "sum")
+    assert not bool(found)
+    np.testing.assert_array_equal(np.asarray(comp, np.float64), want[0])
+
+
+def test_get_bbox_golden():
+    ns = extract_ref_source(
+        "DenseFusion/datasets/myDatasetAugmented/dataset.py",
+        {"get_bbox", "border_list", "img_width", "img_length"}, {"np": np})
+    rng = np.random.default_rng(0)
+    cases = []
+    for _ in range(40):
+        mask = np.zeros((480, 640), bool)
+        r0 = int(rng.integers(0, 470))
+        c0 = int(rng.integers(0, 630))
+        r1 = int(rng.integers(r0 + 1, 481))
+        c1 = int(rng.integers(c0 + 1, 641))
+        mask[r0:r1, c0:c1] = True
+        cases.append(mask)
+    # edge cases: full frame, corners, exact 40-multiples, 1-px, tall/wide
+    full = np.ones((480, 640), bool)
+    cases.append(full)
+    for r0, c0, r1, c1 in [(0, 0, 40, 80), (440, 600, 480, 640), (0, 0, 1, 1),
+                           (100, 0, 460, 3), (5, 10, 8, 630), (0, 0, 480, 40),
+                           (200, 200, 240, 240), (239, 319, 241, 321)]:
+        mask = np.zeros((480, 640), bool)
+        mask[r0:r1, c0:c1] = True
+        cases.append(mask)
+    ellipse = np.zeros((480, 640), bool)
+    yy, xx = np.mgrid[0:480, 0:640]
+    ellipse[((yy - 300) / 90.0) ** 2 + ((xx - 500) / 130.0) ** 2 <= 1] = True
+    cases.append(ellipse)
+
+    for i, mask in enumerate(cases):
+        want = tuple(int(v) for v in ns["get_bbox"](mask))
+        got = tuple(int(v) for v in projection.get_bbox(jnp.asarray(mask)))
+        assert got == want, f"case {i}: got {got} want {want}"
