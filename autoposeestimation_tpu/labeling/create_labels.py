@@ -230,7 +230,8 @@ def create_pose_data(root: str, classes: Sequence[str], ds_name: str,
                      seg_model, seg_variables,
                      reference_point: np.ndarray,
                      new_pred: bool = True, get_extra_labels: bool = False,
-                     n_viewpoints: int = 30, progress=None) -> Dict:
+                     n_viewpoints: int = 30, global_regression: bool = False,
+                     progress=None) -> Dict:
     """The heavyweight offline pipeline: Phase A re-labeling, Phase B
     reconstruction, Phase C pose-label fitting — with the reference's
     per-phase timing stats (create_labels.py:216-280) and hyperparameters
@@ -254,13 +255,14 @@ def create_pose_data(root: str, classes: Sequence[str], ds_name: str,
             cls, io.pc_dir(root), root, reference_point=reference_point,
             mode=mode, n_viewpoints=n_viewpoints, min_friends=20, min_dist=5,
             nb_neighbors=20, threshold=10, voxel_size=2, voxel_size_out=5,
-            global_regression=False, icp_point2point=True,
+            global_regression=global_regression, icp_point2point=True,
             icp_point2plane=False)
         times["pc"].append(time.time() - t1)
 
         t2 = time.time()
         pose_label_mod.create_pose_label(root, cls,
-                                         with_extra=get_extra_labels)
+                                         with_extra=get_extra_labels,
+                                         global_regression=global_regression)
         times["pose"].append(time.time() - t2)
 
     return {"stats": stats, "times": times}

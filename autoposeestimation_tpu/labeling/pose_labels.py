@@ -35,21 +35,24 @@ def _euler2mat(e: np.ndarray) -> np.ndarray:
 
 def _register_canonical(canonical: np.ndarray, run_cloud: np.ndarray,
                         voxel_size: float = 5.0,
-                        threshold: float = 10.0):
+                        threshold: float = 10.0,
+                        global_regression: bool = False):
     size = max(len(canonical), len(run_cloud))
     s, sv = pc.pad_bucket(canonical, min_size=max(1024, size))
     t, tv = pc.pad_bucket(run_cloud, min_size=max(1024, size))
     _, _, src, svalid, tf = icp_ops.icp_regression(
         jnp.asarray(t), jnp.asarray(tv), jnp.asarray(s), jnp.asarray(sv),
         voxel_size=voxel_size, threshold=threshold,
-        icp_point2point=True, icp_point2plane=False)
+        icp_point2point=True, icp_point2plane=False,
+        global_regression=global_regression)
     tf = np.asarray(tf)
     moved = pc.compact(src, svalid) @ tf[:3, :3].T + tf[:3, 3]
     return tf, moved
 
 
 def create_pose_label(root: str, object_name: str,
-                      with_extra: bool = False) -> int:
+                      with_extra: bool = False,
+                      global_regression: bool = False) -> int:
     """Fit and write pose labels for every sample of the object. Returns the
     number of labels written."""
     object_path = os.path.join(io.data_dir(root), object_name)
@@ -86,7 +89,9 @@ def create_pose_label(root: str, object_name: str,
             if not np.allclose(old_rotation, 0.0):
                 run_cloud = io.read_ply(os.path.join(
                     io.pc_dir(root), object_name, f"{run}.ply"))
-                tf, moved = _register_canonical(source, run_cloud)
+                tf, moved = _register_canonical(
+                    source, run_cloud,
+                    global_regression=global_regression)
                 pc_rotation = pc_rotation @ tf[:3, :3]
                 euler = np.deg2rad(_mat2euler_deg(pc_rotation))
                 for i, angle in enumerate(old_rotation):

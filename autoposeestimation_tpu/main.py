@@ -173,7 +173,8 @@ class App:
         return model, ckpt["variables"]
 
     # -- 3. create pose labels --------------------------------------------
-    def create_pose_data(self, ds_name: Optional[str] = None) -> Dict:
+    def create_pose_data(self, ds_name: Optional[str] = None,
+                         global_regression: bool = False) -> Dict:
         from .labeling import create_labels as cl
         from .utils import io
 
@@ -183,7 +184,8 @@ class App:
             "classes.txt"))
         model, variables = self._load_seg_model(ds_name, len(classes) + 1)
         return cl.create_pose_data(self.root, classes, ds_name, model,
-                                   variables, self.reference_point)
+                                   variables, self.reference_point,
+                                   global_regression=global_regression)
 
     # -- 4. create dataset -------------------------------------------------
     def create_dataset(self, objects=None, kind: str = "segmentation",

@@ -146,19 +146,26 @@ def registration_icp(
 
 def icp_regression(target, target_valid, source, source_valid,
                    voxel_size=5.0, threshold=100.0,
-                   icp_point2point: bool = True, icp_point2plane: bool = True):
+                   icp_point2point: bool = True, icp_point2plane: bool = True,
+                   global_regression: bool = False):
     """Parity wrapper for the reference's `icp_regression`
     (/root/reference/pc_reconstruction/open3d_utils.py:63-122): voxel-downsample
-    both clouds, then point-to-point ICP followed by point-to-plane refinement.
+    both clouds, optionally FPFH+RANSAC global registration for the initial
+    transform (open3d_utils.py:86-96), then point-to-point ICP followed by
+    point-to-plane refinement.
     Returns (downsampled target, tvalid, downsampled source, svalid, tf).
     Note the reference registers *source onto target* and returns the tf that
     moves source into the target frame.
     """
+    from . import global_registration as greg
     from . import pointcloud as pc
 
     tgt, tvalid = pc.voxel_downsample(target, target_valid, voxel_size)
     src, svalid = pc.voxel_downsample(source, source_valid, voxel_size)
     tf = jnp.eye(4, dtype=jnp.float32)
+    if global_regression:
+        res = greg.global_registration(src, svalid, tgt, tvalid, voxel_size)
+        tf = res.transformation
     if icp_point2point:
         res = registration_icp(src, svalid, tgt, tvalid, threshold, tf,
                                "point_to_point")

@@ -138,7 +138,8 @@ def get_surface(label: np.ndarray, depth: np.ndarray, intr, robot2cam,
 def _icp_merge(target_np: np.ndarray, source_np: np.ndarray,
                voxel_size: float, threshold: float,
                icp_point2point: bool = True,
-               icp_point2plane: bool = False) -> np.ndarray:
+               icp_point2plane: bool = False,
+               global_regression: bool = False) -> np.ndarray:
     """icp_regression + merge (downsampled clouds, reference semantics:
     registration runs on the voxel-downsampled clouds and the merged cloud is
     built from them)."""
@@ -148,7 +149,8 @@ def _icp_merge(target_np: np.ndarray, source_np: np.ndarray,
     tgt, tvalid, src, svalid, tf = icp_ops.icp_regression(
         jnp.asarray(t), jnp.asarray(tv), jnp.asarray(s), jnp.asarray(sv),
         voxel_size=voxel_size, threshold=threshold,
-        icp_point2point=icp_point2point, icp_point2plane=icp_point2plane)
+        icp_point2point=icp_point2point, icp_point2plane=icp_point2plane,
+        global_regression=global_regression)
     tf = np.asarray(tf)
     src_np = pc.compact(src, svalid)
     tgt_np = pc.compact(tgt, tvalid)
@@ -258,7 +260,8 @@ def load_point_cloud(object_name: str, save_dir: str, root: str,
                 merged = source
             else:
                 merged = _icp_merge(merged, source, voxel_size, threshold,
-                                    icp_point2point, icp_point2plane)
+                                    icp_point2point, icp_point2plane,
+                                    global_regression)
             if progress is not None:
                 progress(run, int(idx), len(merged))
 
