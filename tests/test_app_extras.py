@@ -46,6 +46,7 @@ def test_poses_yaml_roundtrip(tmp_path):
     np.testing.assert_allclose(back[1], poses[1])
 
 
+@pytest.mark.slow
 def test_full_prediction_color_output():
     h, w = 96, 128
     rng = np.random.default_rng(0)
@@ -79,6 +80,7 @@ def test_stream_logs_once(tmp_path):
     assert "loss=0.5" in out.stdout
 
 
+@pytest.mark.slow
 def test_seg_training_image_dump(synth_root, tmp_path):
     from autoposeestimation_tpu.data import loader, segmentation_dataset
     from autoposeestimation_tpu.train import segmentation as seg

@@ -126,6 +126,7 @@ def test_clean_extra_data(tmp_path):
 
 
 @pytest.mark.parametrize("cls", [seg_variants.LinkNet, seg_variants.PSPNetSeg])
+@pytest.mark.slow
 def test_seg_variants_shapes(cls):
     model = cls(classes=4, dtype=jnp.float32)
     x = jnp.zeros((1, 64, 96, 3))
@@ -156,6 +157,7 @@ def test_segnet_unpooling_roundtrip():
     assert counts.max() == 1
 
 
+@pytest.mark.slow
 def test_segnet_forward():
     model = segnet.SegNet(classes=5, dtype=jnp.float32)
     x = jnp.zeros((1, 32, 32, 3))

@@ -15,6 +15,8 @@ from autoposeestimation_tpu.pipeline import predict
 from autoposeestimation_tpu.train import densefusion as dft, segmentation as seg
 from autoposeestimation_tpu.utils import io, synthetic
 
+pytestmark = pytest.mark.slow
+
 
 OBJ_CENTER = np.asarray([20.0, -10.0, 35.0])
 

@@ -28,6 +28,7 @@ def trained(synth_root):
     return state, cfg
 
 
+@pytest.mark.slow
 def test_evaluate_structure(synth_root, trained):
     state, cfg = trained
     classes = io.read_lines(os.path.join(
@@ -69,6 +70,7 @@ def test_compute_metrics_values():
     assert m["recall"] == pytest.approx(0.5)
 
 
+@pytest.mark.slow
 def test_sweep_and_eval_exp(synth_root, tmp_path):
     cfg = dft.DFConfig(batch_size=2, num_points=60, num_points_mesh=80,
                        lr=1e-4, nepoch=2)
@@ -91,6 +93,7 @@ def test_sweep_and_eval_exp(synth_root, tmp_path):
     assert r["n_epochs"] == 1 or r["n_epochs"] >= 1
 
 
+@pytest.mark.slow
 def test_batched_full_prediction(synth_root):
     from autoposeestimation_tpu.pipeline import predict
 

@@ -59,6 +59,7 @@ def test_execute_grasp_sequence(tmp_path, monkeypatch):
     assert gripper_events == ["close", "open"]
 
 
+@pytest.mark.slow
 def test_warm_start_head_reinit():
     import sys
     import types

@@ -37,6 +37,7 @@ def test_triangulate_position():
     np.testing.assert_allclose(got, target, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_get_surface_positions(tmp_path):
     root = str(tmp_path)
     center = np.asarray([20.0, -5.0, 30.0])
@@ -90,6 +91,7 @@ def test_gt_selection_persistence(tmp_path):
     assert meta["gt_test_sample"] is True
 
 
+@pytest.mark.slow
 def test_acquisition_session_with_turns_and_resume(tmp_path):
     root = str(tmp_path)
     cfg = synthetic.SynthConfig(n_viewpoints=3)

@@ -45,6 +45,7 @@ def test_view_distribution_selects_spread_viewpoints(synth_root):
     assert len(set(sel.tolist())) == 6
 
 
+@pytest.mark.slow
 def test_reconstruction_recovers_sphere(synth_root):
     cloud = rec.load_point_cloud(
         "ball", io.pc_dir(synth_root), synth_root, mode="gen",

@@ -104,6 +104,7 @@ def test_linemod_dataset(linemod_root):
                                atol=0.02)
 
 
+@pytest.mark.slow
 def test_eval_linemod_driver(linemod_root):
     import jax.numpy as jnp
 

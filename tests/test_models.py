@@ -7,6 +7,7 @@ import pytest
 from autoposeestimation_tpu.models import unet, pspnet, densefusion, common
 
 
+@pytest.mark.slow
 def test_unet_shapes_multiclass():
     model = unet.UNet(classes=5, dtype=jnp.float32)
     x = jnp.zeros((2, 96, 128, 3))
@@ -25,6 +26,7 @@ def test_unet_7channel_binary():
     assert logits.shape == (1, 64, 64, 2)
 
 
+@pytest.mark.slow
 def test_pspnet_output_is_logsoftmax_embedding():
     model = pspnet.PSPNet(dtype=jnp.float32)
     x = jnp.zeros((1, 80, 80, 3))
@@ -36,6 +38,7 @@ def test_pspnet_output_is_logsoftmax_embedding():
     np.testing.assert_allclose(lse, 0.0, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_posenet_shapes_and_object_select():
     num_obj, n = 4, 100
     model = densefusion.PoseNet(num_obj=num_obj, dtype=jnp.float32)
@@ -118,6 +121,7 @@ def test_normalize_imagenet():
     np.testing.assert_allclose(out[0, 0], want, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_unet_remat_matches_plain():
     """remat=True must be numerically identical (forward and gradient)."""
     x = jax.random.normal(jax.random.PRNGKey(0), (1, 64, 64, 3))

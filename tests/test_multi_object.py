@@ -13,6 +13,8 @@ from autoposeestimation_tpu.pipeline import predict
 from autoposeestimation_tpu.train import densefusion as dft, segmentation as seg
 from autoposeestimation_tpu.utils import io, synthetic
 
+pytestmark = pytest.mark.slow
+
 RED = np.asarray([55.0, 0.0, 45.0])
 BLUE = np.asarray([-65.0, 25.0, 40.0])
 R_RED, R_BLUE = 45.0, 40.0

@@ -1,5 +1,6 @@
 """Fused symmetric ADD-S moments: pallas-interpret vs XLA vs autodiff."""
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -54,6 +55,7 @@ def test_pallas_interpret_matches():
     np.testing.assert_allclose(np.sqrt(var), np.asarray(want_std), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_custom_vjp_matches_autodiff():
     quat, trans, points, model, target = inputs(2, n=12, m=16)
 
@@ -91,6 +93,7 @@ def test_chunked_paths_match_unchunked(monkeypatch):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_vjp_under_vmap():
     """pose_loss vmaps over the batch; the custom VJP must survive that."""
     quat, trans, points, model, target = inputs(3, n=8, m=10)

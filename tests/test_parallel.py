@@ -34,6 +34,7 @@ def make_batch(batch, n, m, crop, num_obj, seed=0):
     }
 
 
+@pytest.mark.slow
 def test_dp_matches_single_device():
     num_obj, n, m, crop = 2, 24, 24, 16
     cfg = dft.DFConfig(num_points=n, num_points_mesh=m)
@@ -65,6 +66,7 @@ def test_dp_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_tp_sharding_correctness():
     num_obj, n, m, crop = 2, 24, 24, 16
     cfg = dft.DFConfig(num_points=n, num_points_mesh=m)
@@ -91,6 +93,7 @@ def test_tp_sharding_correctness():
     np.testing.assert_allclose(float(m1["loss"]), float(mt["loss"]), rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_graft_dryrun():
     import importlib.util
     import os
@@ -103,6 +106,7 @@ def test_graft_dryrun():
     graft.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_seg_train_step_dp():
     from autoposeestimation_tpu.train import segmentation as seg
 

@@ -34,6 +34,7 @@ def scene():
     return image, depth, meta
 
 
+@pytest.mark.slow
 def test_full_prediction_contract(models):
     image, depth, meta = scene()
     out = predict.full_prediction(image, depth, meta, models,

@@ -21,6 +21,7 @@ def synth_root(tmp_path_factory):
     return root
 
 
+@pytest.mark.slow
 def test_segmentation_training_improves_and_checkpoints(synth_root, tmp_path):
     train_ds = segmentation_dataset.SegmentationDataset(
         synth_root, "synth", mode="train", output_size=64)
@@ -39,6 +40,7 @@ def test_segmentation_training_improves_and_checkpoints(synth_root, tmp_path):
     assert out["best_iou"] >= 0.0
 
 
+@pytest.mark.slow
 def test_bs_training_smoke(synth_root, tmp_path):
     train_ds = bs_dataset.BSDataset(synth_root, mode="train",
                                     samples_per_class=6)
@@ -59,6 +61,7 @@ def test_bs_training_smoke(synth_root, tmp_path):
     assert 0.0 <= rand_iou <= 1.0
 
 
+@pytest.mark.slow
 def test_densefusion_trainer_two_phase(synth_root, tmp_path):
     cfg = dft.DFConfig(batch_size=2, num_points=100, num_points_mesh=120,
                        nepoch=3, refine_epoch_margin=2, start_epoch=1,
