@@ -231,7 +231,14 @@ class App:
     def train_pose_estimation(self, ds_name: Optional[str] = None,
                               epochs: Optional[int] = None,
                               p_viewpoints: float = 1.0,
-                              p_extra_data: float = 0.0, **overrides):
+                              p_extra_data: float = 0.0,
+                              warm_start: Optional[str] = None,
+                              warm_start_refine: Optional[str] = None,
+                              **overrides):
+        """warm_start/warm_start_refine: paths to pretrained weights (.pth
+        torch or .npz) loaded with head re-init (reference load_pretrained,
+        train.py:109-134). start_epoch>1 in overrides resumes the previous
+        run's trainer_resume snapshot from the dataset's out_dir."""
         from .data import loader, pose_dataset
         from .train import densefusion as dft
         from .utils import io
@@ -242,6 +249,8 @@ class App:
             "classes.txt"))
         cfg = dft.DFConfig(**overrides)
         state = dft.create_trainer(num_obj=len(classes), cfg=cfg)
+        if warm_start:
+            dft.warm_start(state, warm_start, warm_start_refine)
         train_ds = pose_dataset.PoseDataset(
             self.root, ds_name, mode="train", num_pt=cfg.num_points,
             num_pt_mesh=cfg.num_points_mesh, p_viewpoints=p_viewpoints,
@@ -251,6 +260,8 @@ class App:
             num_pt_mesh=cfg.num_points_mesh)
         out_dir = os.path.join(self.root, "DenseFusion", "trained_models",
                                ds_name)
+        if cfg.start_epoch > 1:
+            dft.resume_trainer(state, out_dir)
         return dft.train(
             state,
             lambda: loader.Loader(train_ds, cfg.batch_size),

@@ -162,6 +162,29 @@ def warm_start_posenet(state: Dict, num_obj: int, rng=None) -> Dict:
     return variables
 
 
+def warm_start_refinenet(state: Dict, num_obj: int, rng=None) -> Dict:
+    """Refiner warm start with final-head re-init — the reference re-inits
+    conv3_r/conv3_t when loading upstream YCB refiner weights
+    (/root/reference/DenseFusion/tools/train.py:126-132)."""
+    import numpy as np
+
+    state = _strip_prefix(state)
+    variables = import_refinenet(state)
+    rng = np.random.default_rng(0) if rng is None else rng
+    src_num_obj = variables["params"]["RefineHead_0"]["Dense_2"][
+        "kernel"].shape[1] // 4
+    if src_num_obj == num_obj:
+        return variables
+    for head, dim in (("RefineHead_0", 4), ("RefineHead_1", 3)):
+        final = variables["params"][head]["Dense_2"]
+        fan_in = final["kernel"].shape[0]
+        scale = 1.0 / np.sqrt(fan_in)
+        final["kernel"] = rng.uniform(
+            -scale, scale, (fan_in, dim * num_obj)).astype(np.float32)
+        final["bias"] = np.zeros(dim * num_obj, np.float32)
+    return variables
+
+
 def load_pth(path: str) -> Dict:
     """Load a torch .pth state_dict as {name: np.ndarray} (torch CPU)."""
     import torch

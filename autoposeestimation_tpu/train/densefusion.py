@@ -216,20 +216,25 @@ def create_trainer(num_obj: int, cfg: Optional[DFConfig] = None,
 def train(state: TrainerState, train_batches: Iterable, test_batches,
           out_dir: str, log_dir: Optional[str] = None,
           epochs: Optional[int] = None,
-          epoch_callback=None) -> TrainerState:
+          epoch_callback=None, save_resume: bool = True) -> TrainerState:
     """The full two-phase loop over batch iterables (each yields batch dicts).
 
     `train_batches`/`test_batches` are callables returning fresh iterators
     per epoch (our data loaders). Artifacts: pose_model.npz /
-    pose_refine_model.npz on best test distance + losses.json curves.
+    pose_refine_model.npz on best test distance + losses.json curves, plus a
+    per-epoch `trainer_resume.npz` snapshot (vars + optimizer + phase state)
+    that `resume_trainer` restores exactly (reference --start_epoch
+    semantics, train.py:48, extended to reproduce the uninterrupted run).
     """
     cfg = state.cfg
     os.makedirs(out_dir, exist_ok=True)
     log = JsonCurveLog(os.path.join(log_dir or out_dir, "losses.json"))
-    rng = jax.random.PRNGKey(1234)
 
     for epoch in range(cfg.start_epoch, (epochs or cfg.nepoch)):
         t0 = time.time()
+        # per-epoch derived stream so a resumed run replays the identical
+        # dropout/noise sequence the uninterrupted run would have used
+        rng = jax.random.fold_in(jax.random.PRNGKey(1234), epoch)
         epoch_losses, epoch_dis = [], []
         for batch in train_batches():
             rng, sub = jax.random.split(rng)
@@ -277,6 +282,92 @@ def train(state: TrainerState, train_batches: Iterable, test_batches,
                                            "test_dis": test_mean})
 
         state.maybe_transition(epoch)
+        if save_resume:
+            save_trainer_snapshot(state, out_dir, next_epoch=epoch + 1)
         if epoch_callback is not None:
             epoch_callback(state, epoch, test_mean)
+    return state
+
+
+def save_trainer_snapshot(state: TrainerState, out_dir: str,
+                          next_epoch: int) -> None:
+    """Full mid-run snapshot: variables, optimizer states, phase machine."""
+    opt = {"est": state.opt_state}
+    if state.refine_opt_state is not None:
+        opt["refine"] = state.refine_opt_state
+    checkpoints.save_checkpoint(
+        os.path.join(out_dir, "trainer_resume"),
+        {"pose_vars": state.pose_vars, "refine_vars": state.refine_vars},
+        meta={"epoch": next_epoch, "best_test": state.best_test,
+              "decay_start": state.decay_start,
+              "refine_start": state.refine_start,
+              "lr": state.lr, "w": state.w},
+        opt_state=opt)
+
+
+def resume_trainer(state: TrainerState, out_dir: str) -> TrainerState:
+    """Restore the `trainer_resume` snapshot written by train() so
+    cfg.start_epoch > 1 continues exactly where an interrupted run stopped
+    (the reference reloads bare state_dicts for --start_epoch, train.py:48;
+    we also restore optimizer + phase state so the next step is identical)."""
+    import json as _json
+
+    path = os.path.join(out_dir, "trainer_resume")
+    with open(path + ".npz.meta.json") as f:
+        meta = _json.load(f)
+    state.decay_start = bool(meta["decay_start"])
+    state.refine_start = bool(meta["refine_start"])
+    state.best_test = float(meta["best_test"])
+    state.lr = float(meta["lr"])
+    state.w = float(meta["w"])
+    state.opt_state = set_lr(state.opt_state, state.lr)
+    if state.refine_start and state.refine_opt_state is None:
+        state.refine_tx = make_optimizer(state.lr)
+        state.refine_opt_state = state.refine_tx.init(
+            state.refine_vars["params"])
+    like_opt = {"est": state.opt_state}
+    if state.refine_opt_state is not None:
+        like_opt["refine"] = state.refine_opt_state
+    out = checkpoints.load_checkpoint(
+        path, {"pose_vars": state.pose_vars,
+               "refine_vars": state.refine_vars}, like_opt)
+    state.pose_vars = jax.tree_util.tree_map(
+        jnp.asarray, out["variables"]["pose_vars"])
+    state.refine_vars = jax.tree_util.tree_map(
+        jnp.asarray, out["variables"]["refine_vars"])
+    state.opt_state = out["opt_state"]["est"]
+    if state.refine_opt_state is not None:
+        state.refine_opt_state = out["opt_state"]["refine"]
+    state.cfg.start_epoch = int(meta["epoch"])
+    return state
+
+
+def warm_start(state: TrainerState, posenet_path: str,
+               refinenet_path: Optional[str] = None) -> TrainerState:
+    """load_pretrained parity (/root/reference/DenseFusion/tools/train.py:
+    109-134): import upstream torch .pth weights (or our .npz checkpoints)
+    with final per-object head re-init when the object count differs, and
+    reset the optimizer."""
+    from ..models import torch_import as ti
+
+    num_obj = state.posenet.num_obj
+
+    def load(path, kind):
+        if path.endswith(".pth"):
+            sd = ti.load_pth(path)
+            fn = (ti.warm_start_posenet if kind == "pose"
+                  else ti.warm_start_refinenet)
+            v = fn(sd, num_obj)
+        else:
+            like = state.pose_vars if kind == "pose" else state.refine_vars
+            v = checkpoints.load_checkpoint(path, like)["variables"]
+        return jax.tree_util.tree_map(jnp.asarray, v)
+
+    state.pose_vars = load(posenet_path, "pose")
+    state.opt_state = state.tx.init(state.pose_vars["params"])
+    if refinenet_path:
+        state.refine_vars = load(refinenet_path, "refine")
+        if state.refine_tx is not None:
+            state.refine_opt_state = state.refine_tx.init(
+                state.refine_vars["params"])
     return state

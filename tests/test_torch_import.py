@@ -96,3 +96,30 @@ def test_pth_roundtrip(tmp_path, reference_models):
     variables = torch_import.import_posenet(state)
     leaves = jax.tree_util.tree_leaves(variables)
     assert len(leaves) > 50
+
+
+def test_warm_start_refinenet_head_reinit(reference_models):
+    """warm_start_refinenet: trunk imported, final per-object heads re-init
+    when object counts differ (reference train.py:126-132)."""
+    _, ref, num_obj, num_points = reference_models
+    state = ref.state_dict()
+    new_obj = num_obj + 2
+    variables = torch_import.warm_start_refinenet(state, new_obj)
+    p = variables["params"]
+    assert p["RefineHead_0"]["Dense_2"]["kernel"].shape[1] == 4 * new_obj
+    assert p["RefineHead_1"]["Dense_2"]["kernel"].shape[1] == 3 * new_obj
+    # trunk weights must be the imported ones, bit-equal
+    imported = torch_import.import_refinenet(state)
+    np.testing.assert_array_equal(
+        p["PoseRefineNetFeat_0"]["Dense_0"]["kernel"],
+        imported["params"]["PoseRefineNetFeat_0"]["Dense_0"]["kernel"])
+    # and the result must run through our module
+    model = densefusion.PoseRefineNet(num_obj=new_obj, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    dr, dt = model.apply(
+        jax.tree_util.tree_map(jnp.asarray, variables),
+        jnp.asarray(rng.normal(size=(1, num_points, 3)), jnp.float32),
+        jnp.asarray(rng.normal(size=(1, num_points, 32)), jnp.float32),
+        jnp.asarray([new_obj - 1]))
+    assert dr.shape == (1, 4) and dt.shape == (1, 3)
+    assert np.isfinite(np.asarray(dr)).all()

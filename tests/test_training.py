@@ -99,3 +99,74 @@ def test_densefusion_decay_transition():
     state.maybe_transition(epoch=2)
     assert state.refine_start
     assert state.refine_opt_state is not None
+
+
+@pytest.mark.slow
+def test_resume_reproduces_next_step(synth_root, tmp_path):
+    """Interrupt/resume parity (reference --start_epoch, train.py:48): a fresh
+    trainer restored from the trainer_resume snapshot must produce the exact
+    same next training step as the uninterrupted in-memory run."""
+    def make_state():
+        cfg = dft.DFConfig(batch_size=2, num_points=64, num_points_mesh=80,
+                           nepoch=10, refine_epoch_margin=2, start_epoch=1,
+                           lr=1e-4)
+        return dft.create_trainer(num_obj=2, cfg=cfg, crop=64,
+                                  dtype=jnp.float32)
+
+    train_ds = pose_dataset.PoseDataset(
+        synth_root, "synth", mode="train", num_pt=64, num_pt_mesh=80,
+        crop=64, add_noise=False)
+    test_ds = pose_dataset.PoseDataset(
+        synth_root, "synth", mode="test", num_pt=64, num_pt_mesh=80, crop=64)
+    tb = lambda: loader.Loader(train_ds, 2, seed=0)
+    vb = lambda: loader.Loader(test_ds, 2, shuffle=False, drop_last=False)
+
+    state = dft.train(make_state(), tb, vb, out_dir=str(tmp_path), epochs=3)
+    assert state.refine_start  # refine_epoch_margin=2 crossed mid-run
+
+    batch = dict(next(iter(loader.Loader(train_ds, 2, seed=7))))
+    batch["dropout_rng"] = jax.random.PRNGKey(99)
+
+    def one_refiner_step(st):
+        new_vars, _, metrics = dft.refiner_step(
+            st.pose_vars, st.refine_vars, st.refine_opt_state, dict(batch),
+            jnp.float32(st.w), st.posenet, st.refiner, st.refine_tx,
+            st.cfg.iteration, st.cfg.with_sym)
+        return new_vars, float(metrics["dis"])
+
+    want_vars, want_dis = one_refiner_step(state)
+
+    resumed = make_state()
+    resumed.cfg.start_epoch = 99  # must be overwritten by the snapshot
+    dft.resume_trainer(resumed, str(tmp_path))
+    assert resumed.cfg.start_epoch == 3
+    assert resumed.refine_start and resumed.refine_opt_state is not None
+    assert resumed.best_test == state.best_test
+    got_vars, got_dis = one_refiner_step(resumed)
+
+    assert got_dis == pytest.approx(want_dis, abs=1e-7)
+    for a, b in zip(jax.tree_util.tree_leaves(want_vars),
+                    jax.tree_util.tree_leaves(got_vars)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+
+
+def test_warm_start_entry_npz_roundtrip(synth_root, tmp_path):
+    """dft.warm_start must accept our .npz checkpoints and reset the
+    optimizer (load_trained-style full reload)."""
+    cfg = dft.DFConfig(num_points=32, num_points_mesh=32)
+    src = dft.create_trainer(num_obj=2, cfg=cfg, crop=32, dtype=jnp.float32,
+                             seed=5)
+    checkpoints.save_checkpoint(str(tmp_path / "pose_model"), src.pose_vars)
+    checkpoints.save_checkpoint(str(tmp_path / "pose_refine_model"),
+                                src.refine_vars)
+
+    dst = dft.create_trainer(num_obj=2, cfg=cfg, crop=32, dtype=jnp.float32,
+                             seed=11)
+    dft.warm_start(dst, str(tmp_path / "pose_model.npz"),
+                   str(tmp_path / "pose_refine_model.npz"))
+    for a, b in zip(jax.tree_util.tree_leaves(src.pose_vars),
+                    jax.tree_util.tree_leaves(dst.pose_vars)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(src.refine_vars),
+                    jax.tree_util.tree_leaves(dst.refine_vars)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
