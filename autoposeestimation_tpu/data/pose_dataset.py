@@ -37,7 +37,11 @@ class PoseDataset:
                  noise_trans: float = 0.03, label_mode: str = "new_pred",
                  p_extra_data: float = 0.0, p_viewpoints: float = 1.0,
                  num_pt_mesh: int = 1000, crop: int = 320, seed: int = 0,
-                 crop_and_zoom: bool = False):
+                 crop_and_zoom: bool = False, return_raw: bool = False):
+        # return_raw: test-mode extras like the reference
+        # (dataset.py:310-318) — full raw image + intrinsics vector for the
+        # per-epoch prediction-panel dumps (train.py:256-317)
+        self.return_raw = return_raw
         # crop_and_zoom: the myDatasetAugmented2 experiment variant
         # (/root/reference/DenseFusion/datasets/myDatasetAugmented2/
         # dataset.py:139-146): random label-driven zoom crops with the
@@ -225,7 +229,7 @@ class PoseDataset:
         img_crop = (img_crop - np.asarray(IMAGENET_MEAN)) / np.asarray(
             IMAGENET_STD)
 
-        return {
+        out = {
             "img": img_crop.astype(np.float32),
             "cloud": cloud.astype(np.float32),
             "choose": choose.astype(np.int32),
@@ -234,6 +238,10 @@ class PoseDataset:
             "obj_idx": np.int32(obj),
             "is_sym": np.bool_(obj in self.symmetry_obj_idx),
         }
+        if self.return_raw:
+            out["raw_img"] = img_np.astype(np.uint8)
+            out["intr"] = np.asarray([fx, fy, ppx, ppy], np.float32)
+        return out
 
 
 def _rot_z(angle: float) -> np.ndarray:

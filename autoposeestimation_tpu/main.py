@@ -262,12 +262,20 @@ class App:
                                ds_name)
         if cfg.start_epoch > 1:
             dft.resume_trainer(state, out_dir)
+        # per-epoch prediction-panel dumps (reference plot_train,
+        # train.py:256-317) from a raw-enabled copy of the test set
+        image_ds = pose_dataset.PoseDataset(
+            self.root, ds_name, mode="test", num_pt=cfg.num_points,
+            num_pt_mesh=cfg.num_points_mesh, return_raw=True)
         return dft.train(
             state,
             lambda: loader.Loader(train_ds, cfg.batch_size),
             lambda: loader.Loader(test_ds, cfg.batch_size, shuffle=False,
                                   drop_last=False),
-            out_dir=out_dir, epochs=epochs)
+            out_dir=out_dir, epochs=epochs,
+            image_dump_dir=os.path.join(out_dir, "logs", "images"),
+            image_batches=lambda: loader.Loader(
+                image_ds, cfg.batch_size, shuffle=False, drop_last=False))
 
     # -- 7. live prediction ------------------------------------------------
     def run_live_prediction(self, ds_name: Optional[str] = None,

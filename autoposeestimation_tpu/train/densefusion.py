@@ -216,7 +216,9 @@ def create_trainer(num_obj: int, cfg: Optional[DFConfig] = None,
 def train(state: TrainerState, train_batches: Iterable, test_batches,
           out_dir: str, log_dir: Optional[str] = None,
           epochs: Optional[int] = None,
-          epoch_callback=None, save_resume: bool = True) -> TrainerState:
+          epoch_callback=None, save_resume: bool = True,
+          image_dump_dir: Optional[str] = None,
+          image_batches=None) -> TrainerState:
     """The full two-phase loop over batch iterables (each yields batch dicts).
 
     `train_batches`/`test_batches` are callables returning fresh iterators
@@ -284,9 +286,82 @@ def train(state: TrainerState, train_batches: Iterable, test_batches,
         state.maybe_transition(epoch)
         if save_resume:
             save_trainer_snapshot(state, out_dir, next_epoch=epoch + 1)
+        if image_dump_dir and image_batches is not None:
+            os.makedirs(image_dump_dir, exist_ok=True)
+            dump_pose_images(state, image_batches, os.path.join(
+                image_dump_dir, f"test_images_epoch_{epoch}.png"))
+            plot_loss_curves(log, os.path.join(image_dump_dir, "losses.png"))
         if epoch_callback is not None:
             epoch_callback(state, epoch, test_mean)
     return state
+
+
+def dump_pose_images(state: TrainerState, batches, path: str,
+                     max_panels: int = 8) -> None:
+    """(target reprojection | prediction reprojection) panel dump per epoch —
+    the reference's test_images_epoch_<N>.png grids
+    (/root/reference/DenseFusion/tools/train.py:256-317). `batches` yields
+    test batches with return_raw extras (raw_img + intr)."""
+    from ..pipeline.visualize import pointcloud2image
+    from ..utils import io as io_utils
+    from ..utils import transforms as T
+
+    panels = []
+    for batch in batches():
+        pred_r, pred_t, pred_c, emb = state.posenet.apply(
+            state.pose_vars, batch["img"], batch["cloud"], batch["choose"],
+            batch["obj_idx"], train=False)
+        quat, trans = losses.estimator_prediction(pred_r, pred_t, pred_c,
+                                                  batch["cloud"])
+        if state.refine_start and state.refine_vars is not None:
+            new_points = losses.rebase_points(quat, trans, batch["cloud"])
+            for _ in range(state.cfg.iteration):
+                dr, dt = state.refiner.apply(state.refine_vars, new_points,
+                                             emb, batch["obj_idx"])
+                quat, trans = losses.compose_refined(dr, dt, quat, trans)
+                new_points = losses.rebase_points(quat, trans, batch["cloud"])
+        rot = np.asarray(T.quat_to_mat(quat))
+        trans_np = np.asarray(trans)
+        n = len(np.asarray(batch["obj_idx"]))
+        for i in range(n):
+            if len(panels) >= max_panels:
+                break
+            raw = np.asarray(batch["raw_img"][i])
+            fx, fy, ppx, ppy = np.asarray(batch["intr"][i]).tolist()
+            intr = {"fx": fx, "fy": fy, "ppx": ppx, "ppy": ppy}
+            mp = np.asarray(batch["model_points"][i])
+            pred_pts = mp @ rot[i].T + trans_np[i]
+            img_t = pointcloud2image(raw, np.asarray(batch["target"][i]), 3,
+                                     intr, color=(0, 255, 0))
+            img_p = pointcloud2image(raw, pred_pts, 3, intr,
+                                     color=(255, 0, 0))
+            panels.append(np.concatenate([img_t, img_p], axis=1))
+        if len(panels) >= max_panels:
+            break
+    if panels:
+        io_utils.write_png(path, np.concatenate(panels, axis=0)
+                           .astype(np.uint8))
+
+
+def plot_loss_curves(log: JsonCurveLog, path: str) -> None:
+    """losses.png curve panel (reference train.py:329-353)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    curves = log.data["curves"]
+    fig, axs = plt.subplots(2, 2, constrained_layout=True, figsize=(12, 8))
+    for ax, (key, title, ylabel) in zip(axs.flat, [
+            ("losses", "Training estimator loss", "Loss"),
+            ("train_dists", "Training Avg. distance", "Avg. distance [m]"),
+            ("test_dists", "Test Avg. distance", "Avg. distance [m]"),
+            ("epoch_seconds", "Epoch wall time", "seconds")]):
+        ax.plot(curves.get(key, []))
+        ax.set_title(title)
+        ax.set_xlabel("Epochs")
+        ax.set_ylabel(ylabel)
+    fig.savefig(path)
+    plt.close(fig)
 
 
 def save_trainer_snapshot(state: TrainerState, out_dir: str,
