@@ -179,17 +179,28 @@ class PoseDataset:
             return None
         rows = np.any(label_np == 255, axis=1)
         cols = np.any(label_np == 255, axis=0)
-        rc = (np.where(rows)[0][[0, -1]].sum() + 1) // 2
-        cc = (np.where(cols)[0][[0, -1]].sum() + 1) // 2
+        rr = np.where(rows)[0][[0, -1]]
+        cc_ = np.where(cols)[0][[0, -1]]
+        rc = (rr.sum() + 1) // 2
+        cc = (cc_.sum() + 1) // 2
         h, w = label_np.shape
         # clamp the static window to the frame (small test images), keeping
         # the PSPNet stride-8 requirement
         crop = min(self.crop, h, w)
         crop -= crop % 8
-        r0 = int(np.clip(rc - crop // 2, 0, h - crop))
-        c0 = int(np.clip(cc - crop // 2, 0, w - crop))
+        # dynamic zoom window >= crop covering the 40-px-quantized bbox
+        # (reference get_bbox ladder, dataset.py:342-380) — mirrors the
+        # serving graph's zoom_window_bbox so training and serving see the
+        # same crop policy; objects larger than the static crop are zoomed
+        # instead of truncated
+        q = 40
+        ext = int(max(rr[1] + 1 - rr[0], cc_[1] + 1 - cc_[0]))
+        ext = min(-(-ext // q) * q, 680)
+        win = int(np.clip(ext, crop, min(h, w)))
+        r0 = int(np.clip(rc - win // 2, 0, h - win))
+        c0 = int(np.clip(cc - win // 2, 0, w - win))
 
-        win_mask = mask[r0:r0 + crop, c0:c0 + crop]
+        win_mask = mask[r0:r0 + win, c0:c0 + win]
         choose = win_mask.flatten().nonzero()[0]
         if len(choose) == 0:
             return None
@@ -201,8 +212,8 @@ class PoseDataset:
         else:
             choose = np.pad(choose, (0, self.num_pt - len(choose)), "wrap")
 
-        drow = r0 + choose // crop
-        dcol = c0 + choose % crop
+        drow = r0 + choose // win
+        dcol = c0 + choose % win
         z = depth_np[drow, dcol] * image_meta["depth_scale"]
         x = (dcol - ppx) * z / fx
         y = (drow - ppy) * z / fy
@@ -225,9 +236,16 @@ class PoseDataset:
         if self.add_noise:
             target = target + add_t
 
-        img_crop = img_np[r0:r0 + crop, c0:c0 + crop].astype(np.float32) / 255.0
+        # nearest-resample the (win, win) color window onto the static crop
+        # grid (identity slice when win == crop) and remap choose to it
+        ii = r0 + (np.arange(crop) * win) // crop
+        jj = c0 + (np.arange(crop) * win) // crop
+        img_crop = img_np[np.ix_(ii, jj)].astype(np.float32) / 255.0
         img_crop = (img_crop - np.asarray(IMAGENET_MEAN)) / np.asarray(
             IMAGENET_STD)
+        cr = np.clip((drow - r0) * crop // win, 0, crop - 1)
+        ccl = np.clip((dcol - c0) * crop // win, 0, crop - 1)
+        choose = (cr * crop + ccl).astype(np.int32)
 
         out = {
             "img": img_crop.astype(np.float32),

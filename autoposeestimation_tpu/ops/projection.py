@@ -131,6 +131,62 @@ def fixed_crop_bbox(mask, crop: int, img_h: int = IMG_H, img_w: int = IMG_W):
     return r0, c0
 
 
+def zoom_window_bbox(mask, crop: int, img_h: int = IMG_H, img_w: int = IMG_W):
+    """(r0, c0, win): square window of dynamic side `win >= crop` covering the
+    quantized bbox, clamped inside the image.
+
+    For objects whose quantized bbox fits in `crop` this reproduces
+    fixed_crop_bbox (win == crop, native scale). Larger masks — the round-1
+    truncation case — get a bigger window that resample_window /
+    backproject_choose_zoom map onto the static crop grid, so one compiled
+    shape serves every object size (the reference handles this with
+    variable-shape bs=1 crops, dataset.py:342-380)."""
+    rmin, rmax, cmin, cmax = get_bbox(mask, img_h, img_w)
+    ext = jnp.maximum(rmax - rmin, cmax - cmin)
+    win = jnp.clip(ext, crop, min(img_h, img_w))
+    rc = (rmin + rmax) // 2
+    cc = (cmin + cmax) // 2
+    r0 = jnp.clip(rc - win // 2, 0, img_h - win)
+    c0 = jnp.clip(cc - win // 2, 0, img_w - win)
+    return r0, c0, win
+
+
+def resample_window(img, r0, c0, win, crop: int):
+    """Nearest-neighbor gather of a dynamic (win, win) window onto a static
+    (crop, crop) grid — the jit-safe variable-size crop (zoom semantics like
+    the reference's myDatasetAugmented2 variant, dataset.py:139-146). When
+    win == crop the index math reduces to an exact identity slice."""
+    ii = r0 + (jnp.arange(crop, dtype=jnp.int32) * win) // crop
+    jj = c0 + (jnp.arange(crop, dtype=jnp.int32) * win) // crop
+    return img[ii[:, None], jj[None, :]]
+
+
+def backproject_choose_zoom(depth, mask, intr, depth_scale, r0, c0, win,
+                            crop: int, num_pt: int, key):
+    """backproject_choose for the dynamic zoom window.
+
+    Pixels are chosen from the full-resolution mask inside the window; the
+    cloud is backprojected from exact native pixel coordinates (geometry is
+    never resampled), while the returned `choose` indices address the
+    (crop, crop) RESAMPLED grid for the color-embedding gather."""
+    h, w = depth.shape
+    rows_i = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    cols_i = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    inside = ((rows_i >= r0) & (rows_i < r0 + win)
+              & (cols_i >= c0) & (cols_i < c0 + win))
+    valid = mask & inside & (depth > 0)
+    choose_full, count = choose_masked_indices(valid, num_pt, key)
+    rows = choose_full // w
+    cols = choose_full % w
+    z = depth.reshape(-1)[choose_full].astype(jnp.float32) * depth_scale
+    cloud = pixels_to_points(rows, cols, z, intr)
+    safe_win = jnp.maximum(win, 1)
+    cr = jnp.clip((rows - r0) * crop // safe_win, 0, crop - 1)
+    cc = jnp.clip((cols - c0) * crop // safe_win, 0, crop - 1)
+    choose = cr * crop + cc
+    return cloud, choose.astype(jnp.int32), count
+
+
 @functools.partial(jax.jit, static_argnames=("num_pt",))
 def choose_masked_indices(window_mask, num_pt: int, key) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Select `num_pt` flat indices of True pixels in a (S, S) window — jit-safe.

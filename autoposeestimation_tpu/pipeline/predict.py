@@ -93,10 +93,14 @@ def _full_prediction_jit(seg_vars, pose_vars, refine_vars,
     keys = jax.random.split(key, k_fg)
 
     def per_class(mask, k2):
-        r0, c0 = proj.fixed_crop_bbox(mask, crop)
-        cloud, choose, count = proj.backproject_choose(
-            depth, mask, intr, depth_scale, r0, c0, crop, num_points, k2)
-        img_crop = proj.gather_window(image, r0, c0, crop)
+        # dynamic zoom window >= crop: objects larger than the static crop are
+        # no longer truncated (round-1 weakness #3); win == crop is an exact
+        # identity slice for the common tabletop case
+        h_img, w_img = depth.shape
+        r0, c0, win = proj.zoom_window_bbox(mask, crop, h_img, w_img)
+        cloud, choose, count = proj.backproject_choose_zoom(
+            depth, mask, intr, depth_scale, r0, c0, win, crop, num_points, k2)
+        img_crop = proj.resample_window(image, r0, c0, win, crop)
         return cloud, choose, count, normalize_imagenet(img_crop)
 
     clouds, chooses, counts, crops = jax.vmap(per_class)(masks, keys)

@@ -139,3 +139,82 @@ def test_fixed_crop_clamps_inside():
     mask[0:10, 630:640] = True  # corner object
     r0, c0 = P.fixed_crop_bbox(jnp.asarray(mask), 320)
     assert int(r0) == 0 and int(c0) == 320
+
+
+def test_zoom_window_identity_when_fits():
+    """win == crop for masks whose quantized bbox fits: same window as
+    fixed_crop_bbox, exact identity resample."""
+    rng = np.random.default_rng(0)
+    mask = np.zeros((480, 640), bool)
+    mask[200:260, 300:350] = True  # 60x50 -> quantized 80x80 <= crop 160
+    img = rng.integers(0, 255, (480, 640, 3)).astype(np.uint8)
+    m = jnp.asarray(mask)
+    r0f, c0f = P.fixed_crop_bbox(m, 160)
+    r0, c0, win = P.zoom_window_bbox(m, 160)
+    assert int(win) == 160
+    assert (int(r0), int(c0)) == (int(r0f), int(c0f))
+    got = np.asarray(P.resample_window(jnp.asarray(img), r0, c0, win, 160))
+    want = np.asarray(P.gather_window(jnp.asarray(img), r0f, c0f, 160))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_zoom_backproject_covers_oversized_mask():
+    """Mask extent > crop: the zoom path must sample the WHOLE object (the
+    round-1 fixed window truncated it) with exact native-coordinate
+    backprojection."""
+    h, w, crop = 480, 640, 160
+    mask = np.zeros((h, w), bool)
+    mask[100:420, 150:500] = True  # 320x350 extent, far beyond crop 160
+    depth = np.zeros((h, w), np.float32)
+    depth[mask] = 800.0
+    intr = jnp.asarray([600.0, 600.0, 320.0, 240.0], jnp.float32)
+    m = jnp.asarray(mask)
+
+    r0, c0, win = P.zoom_window_bbox(m, crop)
+    assert int(win) > crop
+    cloud, choose, count = P.backproject_choose_zoom(
+        jnp.asarray(depth), m, intr, jnp.float32(0.001), r0, c0, win, crop,
+        512, jax.random.PRNGKey(0))
+    assert int(count) == int(mask.sum())
+    cloud = np.asarray(cloud)
+    # recover native pixels from the exact backprojection and check coverage
+    cols = cloud[:, 0] / (cloud[:, 2] / 600.0) + 320.0
+    rows = cloud[:, 1] / (cloud[:, 2] / 600.0) + 240.0
+    assert rows.max() - rows.min() > crop  # spans more than the static crop
+    assert cols.max() - cols.min() > crop
+    assert np.all(np.abs(cloud[:, 2] - 0.8) < 1e-6)
+    # all rounded pixels must lie inside the true mask
+    ri = np.clip(np.round(rows).astype(int), 0, h - 1)
+    ci = np.clip(np.round(cols).astype(int), 0, w - 1)
+    assert mask[ri, ci].all()
+    ch = np.asarray(choose)
+    assert ch.min() >= 0 and ch.max() < crop * crop
+
+
+def test_zoom_choose_maps_to_resampled_grid():
+    """choose indices must address the pixel of the resampled crop whose
+    source pixel is (close to) the chosen native pixel."""
+    h, w, crop = 480, 640, 160
+    mask = np.zeros((h, w), bool)
+    mask[50:450, 100:560] = True
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 255, (h, w, 3)).astype(np.uint8)
+    depth = np.full((h, w), 700.0, np.float32)
+    intr = jnp.asarray([600.0, 600.0, 320.0, 240.0], jnp.float32)
+    m = jnp.asarray(mask)
+    r0, c0, win = P.zoom_window_bbox(m, crop)
+    cloud, choose, count = P.backproject_choose_zoom(
+        jnp.asarray(depth), m, intr, jnp.float32(0.001), r0, c0, win, crop,
+        256, jax.random.PRNGKey(1))
+    cloud = np.asarray(cloud)
+    cols = np.round(cloud[:, 0] / (cloud[:, 2] / 600.0) + 320.0).astype(int)
+    rows = np.round(cloud[:, 1] / (cloud[:, 2] / 600.0) + 240.0).astype(int)
+    ch = np.asarray(choose)
+    r0n, c0n, winn = int(r0), int(c0), int(win)
+    # the resampled grid cell addressed by choose must source a pixel within
+    # one resample stride (ceil(win/crop)) of the chosen native pixel
+    src_r = r0n + (ch // crop) * winn // crop
+    src_c = c0n + (ch % crop) * winn // crop
+    stride = -(-winn // crop)
+    assert np.abs(src_r - rows).max() <= stride
+    assert np.abs(src_c - cols).max() <= stride
