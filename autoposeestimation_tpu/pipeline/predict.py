@@ -142,6 +142,51 @@ def _full_prediction_batched_jit(seg_vars, pose_vars, refine_vars, images,
     )(images, depths, keys)
 
 
+@functools.partial(jax.jit, static_argnames=("models_static", "cls_idx"))
+def _pose_from_mask_jit(pose_vars, refine_vars, image, depth, mask, intr,
+                        depth_scale, key, models_static, cls_idx: int):
+    (_, posenet, refiner, _, num_points, crop, refine_iters) = models_static
+    h_img, w_img = depth.shape
+    r0, c0, win = proj.zoom_window_bbox(mask, crop, h_img, w_img)
+    cloud, choose, count = proj.backproject_choose_zoom(
+        depth, mask, intr, depth_scale, r0, c0, win, crop, num_points, key)
+    crops = normalize_imagenet(proj.resample_window(image, r0, c0, win, crop))
+    obj = jnp.asarray([cls_idx], jnp.int32)
+    pred_r, pred_t, pred_c, emb = posenet.apply(
+        pose_vars, crops[None], cloud[None], choose[None], obj)
+    quat, trans = losses.estimator_prediction(pred_r, pred_t, pred_c,
+                                              cloud[None])
+    new_points = losses.rebase_points(quat, trans, cloud[None])
+    for _ in range(refine_iters):
+        dr, dt = refiner.apply(refine_vars, new_points, emb, obj)
+        quat, trans = losses.compose_refined(dr, dt, quat, trans)
+        new_points = losses.rebase_points(quat, trans, cloud[None])
+    return quat[0], trans[0], count
+
+
+def pose_from_mask(image, depth, meta, models: PredictionModels, mask,
+                   cls_name: str, key: Optional[jax.Array] = None,
+                   refine_iters: Optional[int] = None):
+    """Pose stage only, with an externally supplied mask (bypasses the
+    segmentation + CCA front end). Used for per-stage error attribution and
+    for callers that already have a mask. Returns {'position', 'rotation'}."""
+    intr = meta["intr"]
+    intr_vec = intr.as_array() if hasattr(intr, "as_array") else np.asarray(
+        [intr["fx"], intr["fy"], intr["ppx"], intr["ppy"]], np.float32)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    iters = models.refine_iters if refine_iters is None else refine_iters
+    static = (models.seg_model, models.posenet, models.refiner,
+              len(models.classes), models.num_points, models.crop, iters)
+    quat, trans, count = _pose_from_mask_jit(
+        models.pose_vars, models.refine_vars, jnp.asarray(image),
+        jnp.asarray(depth, jnp.float32), jnp.asarray(mask, bool),
+        jnp.asarray(intr_vec), jnp.float32(meta["depth_scale"]), key,
+        static, models.classes.index(cls_name))
+    return {"position": np.asarray(trans), "rotation": np.asarray(quat),
+            "count": int(count)}
+
+
 def build_models(num_classes_fg: int, model_points: np.ndarray,
                  classes, seg_vars=None, pose_vars=None, refine_vars=None,
                  num_points: int = 1000, crop: int = 320,
