@@ -39,6 +39,34 @@ def emit(metric, value, unit, baseline=None):
     print(json.dumps(entry), flush=True)
 
 
+def chip_peak_flops():
+    kind = jax.devices()[0].device_kind.lower()
+    if "v5" in kind:
+        return 197e12  # TPU v5e bf16
+    if "v6" in kind:
+        return 275e12
+    return None
+
+
+def emit_mfu(metric, jitted_or_lowered, dt, *args):
+    """Compiler-counted FLOPs / measured step time / chip peak."""
+    try:
+        ca = jax.jit(jitted_or_lowered).lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        flops = float(ca.get("flops", 0.0))
+        peak = chip_peak_flops()
+        if flops > 0 and peak:
+            emit(metric, flops / dt / peak * 100.0, "% of chip peak")
+            return
+    except Exception:
+        pass
+    print(json.dumps({"metric": metric, "value": None,
+                      "unit": "% of chip peak",
+                      "note": "flops/peak unavailable on this backend"}),
+          flush=True)
+
+
 def main():
     from autoposeestimation_tpu.models import unet
     from autoposeestimation_tpu.ops import bg_subtraction as bgs
@@ -112,6 +140,10 @@ def main():
     emit("densefusion_train_step_seconds_bs8", dt, "sec/step")
     # reference: bs=1 forward+backward per sample, 8 samples per optimizer step
     emit("densefusion_train_samples_per_sec", b / dt, "samples/sec")
+    emit_mfu("densefusion_train_step_mfu_pct",
+             lambda v, o, bt: dft.estimator_step(
+                 v, o, bt, jnp.float32(cfg.w), state.posenet, state.tx, True),
+             dt, vars_, opt, batch)
 
     # --- symmetric ADD-S moments op -------------------------------------
     n, m = 1000, 1000
@@ -163,6 +195,8 @@ def main():
 
     dt = timeit(batched, jax.random.PRNGKey(0), n=10)
     emit("full_prediction_batched8_fps_640x480", 8.0 / dt, "frames/sec", 30.0)
+    emit_mfu("full_prediction_batched8_mfu_pct", batched, dt,
+             jax.random.PRNGKey(0))
 
     # --- classical label generation -------------------------------------
     bg_rgb = jnp.asarray(rng.integers(0, 255, (480, 640, 3)), jnp.float32)

@@ -176,3 +176,44 @@ def test_config_defaults():
     assert cfg.pose.decay_margin == 0.016
     assert cfg.serving.num_points == 1000
     np.testing.assert_allclose(cfg.reference_point_array(), [0.0, -767.5, 0.0])
+
+
+@pytest.mark.slow
+def test_vanilla_segnet_trainer(tmp_path):
+    """Legacy vanilla_segmentation trainer parity: per-epoch log files,
+    best-CE checkpoints, loss decreasing on a learnable toy problem."""
+    import os
+
+    from autoposeestimation_tpu.train import vanilla_segnet as vs
+
+    rng = np.random.default_rng(0)
+    # toy: 2-class segmentation of a bright square on dark background
+    def make(n):
+        imgs, labels = [], []
+        for i in range(n):
+            img = rng.uniform(0, 0.2, (32, 32, 3)).astype(np.float32)
+            lab = np.zeros((32, 32), np.int32)
+            r, c = rng.integers(4, 20, 2)
+            img[r:r + 8, c:c + 8] += 0.7
+            lab[r:r + 8, c:c + 8] = 1
+            imgs.append(img)
+            labels.append(lab)
+        return np.stack(imgs), np.stack(labels)
+
+    xi, yi = make(8)
+    xt, yt = make(4)
+    tb = lambda: [{"image": jnp.asarray(xi[i:i + 4]),
+                   "label": jnp.asarray(yi[i:i + 4])} for i in (0, 4)]
+    vb = lambda: [{"image": jnp.asarray(xt), "label": jnp.asarray(yt)}]
+    out = vs.train_vanilla_segnet(
+        tb, vb, n_classes=2, n_epochs=4, lr=3e-3,
+        log_dir=str(tmp_path / "logs"),
+        model_save_path=str(tmp_path / "models"),
+        sample_shape=(32, 32))
+    logs = sorted(os.listdir(tmp_path / "logs"))
+    assert "epoch_1_log.txt" in logs and "epoch_1_test_log.txt" in logs
+    txt = open(tmp_path / "logs" / "epoch_1_log.txt").read()
+    assert "CEloss" in txt and "Train Finish Avg CEloss" in txt
+    saved = os.listdir(tmp_path / "models")
+    assert any(f.startswith("model_") and f.endswith(".npz") for f in saved)
+    assert out["best_val_cost"] < 0.69  # below ln(2) = learned something
