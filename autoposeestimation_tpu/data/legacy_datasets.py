@@ -220,3 +220,81 @@ class LineModPoseDataset:
             "obj_idx": np.int32(obj - 1),
             "is_sym": np.bool_(obj in LINEMOD_SYM_IDS),
         }
+
+
+class YCBSegDataset:
+    """vanilla_segmentation SegDataset parity
+    (/root/reference/DenseFusion/vanilla_segmentation/data_controller.py:17-98):
+    random-index sampling of `length` frames per epoch, ColorJitter noise,
+    synthetic frames brightened/blurred and composited onto a random real
+    frame's background (rgb/label where the syn label is 0), random flips.
+    Returns {'image': (H, W, 3) float32 ImageNet-normalized,
+    'label': (H, W) int32}."""
+
+    def __init__(self, root: str, data_list: List[str], use_noise: bool,
+                 length: int, seed: int = 0):
+        import random as _random
+
+        self.root = root
+        self.path = list(data_list)
+        self.real_path = [p for p in self.path if p.startswith("data/")]
+        self.use_noise = use_noise
+        self.length = length
+        self.rng = _random.Random(seed)
+        self.np_rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        return self.length
+
+    def _load(self, stem):
+        base = os.path.join(self.root, stem)
+        rgb = np.asarray(Image.open(base + "-color.png").convert("RGB"),
+                         np.float64)
+        label = np.asarray(Image.open(base + "-label.png"))
+        return rgb, label
+
+    def __getitem__(self, idx: int) -> Dict:
+        from ..models.common import IMAGENET_MEAN, IMAGENET_STD
+        from . import augment as aug
+
+        index = self.rng.randint(0, max(len(self.path) - 10, 0))
+        stem = self.path[index]
+        rgb, label = self._load(stem)
+        label = label.copy()
+        if self.use_noise:
+            img = Image.fromarray(rgb.astype(np.uint8))
+            rgb = np.asarray(aug.color_jitter(img, rng=self.rng), np.float64)
+
+        if stem.startswith("data_syn"):
+            from PIL import ImageEnhance, ImageFilter
+
+            img = Image.open(os.path.join(self.root, stem) + "-color.png") \
+                .convert("RGB")
+            img = ImageEnhance.Brightness(img).enhance(1.5).filter(
+                ImageFilter.GaussianBlur(radius=0.8))
+            rgb = np.asarray(aug.color_jitter(img, rng=self.rng), np.float64)
+            seed = self.rng.randint(0, max(len(self.path) - 10, 0))
+            back_img = Image.fromarray(
+                self._load(self.path[seed])[0].astype(np.uint8))
+            back = np.asarray(aug.color_jitter(back_img, rng=self.rng),
+                              np.float64)
+            back_label = self._load(self.path[seed])[1]
+            mask = (label == 0)
+            rgb = rgb + self.np_rng.normal(0.0, 5.0, rgb.shape)
+            rgb = back * mask[..., None] + rgb
+            label = back_label * mask + label
+
+        if self.use_noise:
+            choice = self.rng.randint(0, 3)
+            if choice == 0:
+                rgb, label = np.fliplr(rgb), np.fliplr(label)
+            elif choice == 1:
+                rgb, label = np.flipud(rgb), np.flipud(label)
+            elif choice == 2:
+                rgb, label = np.flipud(np.fliplr(rgb)), np.flipud(
+                    np.fliplr(label))
+
+        img = rgb.astype(np.float32) / 255.0
+        img = (img - np.asarray(IMAGENET_MEAN)) / np.asarray(IMAGENET_STD)
+        return {"image": img.astype(np.float32),
+                "label": np.ascontiguousarray(label).astype(np.int32)}

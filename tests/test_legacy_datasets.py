@@ -116,3 +116,39 @@ def test_eval_linemod_driver(linemod_root):
     out = legacy_eval.eval_linemod(state, linemod_root, [1], batch_size=1)
     assert "obj_01" in out
     assert out["obj_01"]["hit"] + out["obj_01"]["miss"] == 1
+
+
+def test_ycb_seg_dataset(ycb_root):
+    """vanilla_segmentation SegDataset parity: real frame, noisy frame, and
+    the synthetic background-compositing branch."""
+    # add a synthetic frame whose background must get composited from a real one
+    base_syn = os.path.join(ycb_root, "data_syn")
+    os.makedirs(base_syn, exist_ok=True)
+    rng = np.random.default_rng(1)
+    h, w = 96, 128
+    img = rng.integers(0, 255, (h, w, 3)).astype(np.uint8)
+    label = np.zeros((h, w), np.uint8)
+    label[10:40, 10:50] = 1
+    Image.fromarray(img).save(os.path.join(base_syn, "000001-color.png"))
+    Image.fromarray(label).save(os.path.join(base_syn, "000001-label.png"))
+
+    ds = legacy.YCBSegDataset(ycb_root, ["data/0001/000001"], use_noise=False,
+                              length=3)
+    s = ds[0]
+    assert s["image"].shape == (h, w, 3) and s["image"].dtype == np.float32
+    assert s["label"].shape == (h, w) and s["label"].dtype == np.int32
+    assert set(np.unique(s["label"])) <= {0, 1}
+
+    ds_syn = legacy.YCBSegDataset(
+        ycb_root, ["data_syn/000001", "data/0001/000001"] * 6,
+        use_noise=True, length=4, seed=3)
+    got_syn = False
+    for i in range(4):
+        s = ds_syn[i]
+        assert np.isfinite(s["image"]).all()
+    # force the syn branch directly
+    ds_syn.rng.randint = lambda a, b: 0  # always pick index 0 = data_syn
+    s = ds_syn[0]
+    assert s["label"].max() >= 1
+    got_syn = True
+    assert got_syn
