@@ -198,21 +198,38 @@ def add_metric(quat, trans, target, model_points, is_sym, with_sym: bool = True)
 # Segmentation losses/metrics
 # ---------------------------------------------------------------------------
 
-@jax.jit
-def jaccard_loss(labels, logits, eps: float = 1e-7):
+@functools.partial(jax.jit, static_argnames=("per_column",))
+def jaccard_loss(labels, logits, eps: float = 1e-7,
+                 per_column: bool = False):
     """Soft-jaccard loss restricted to classes present in the batch
-    (segmentation/utils.py:71-114). labels (B,H,W) int, logits (B,H,W,C)."""
+    (segmentation/utils.py:71-114). labels (B,H,W) int, logits (B,H,W,C).
+
+    per_column=True replicates the reference's EXACT reduction: with (B,H,W)
+    labels its `dims = (0,) + range(2, true.ndim)` sums over batch+height
+    only, yielding per-(class, image-column) IoUs averaged together — an
+    artifact of the ndim-dependent dims (utils.py:104). The default
+    (per_column=False) is the intended full-image reduction; training works
+    with either, the deviation is deliberate and tested against the
+    reference in tests/test_reference_golden.py."""
     c = logits.shape[-1]
     probas = jax.nn.softmax(logits, axis=-1)
     onehot = jax.nn.one_hot(labels, c, dtype=probas.dtype)
-    dims = (0, 1, 2)
+    # reduction axes over (B, H, W, C) layout: reference torch layout is
+    # (B, C, H, W) with dims (0, 2) [per_column] or (0, 2, 3) [full]
+    dims = (0, 1) if per_column else (0, 1, 2)
     intersection = jnp.sum(probas * onehot, dims)
     cardinality = jnp.sum(probas + onehot, dims)
     union = cardinality - intersection
-    per_class = intersection / (union + eps)
+    per_class = intersection / (union + eps)  # (W, C) or (C,)
     present = jnp.zeros(c, bool).at[labels.reshape(-1)].set(True)
-    mean = jnp.sum(jnp.where(present, per_class, 0.0)) / jnp.maximum(
-        jnp.sum(present.astype(per_class.dtype)), 1.0)
+    if per_column:
+        masked = jnp.where(present[None, :], per_class.reshape(-1, c), 0.0)
+        w = masked.shape[0]
+        mean = jnp.sum(masked) / jnp.maximum(
+            jnp.sum(present.astype(per_class.dtype)) * w, 1.0)
+    else:
+        mean = jnp.sum(jnp.where(present, per_class, 0.0)) / jnp.maximum(
+            jnp.sum(present.astype(per_class.dtype)), 1.0)
     return 1.0 - mean
 
 

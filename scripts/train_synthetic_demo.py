@@ -26,6 +26,9 @@ def main():
     # estimator (round-2 CPU study; the reference trains it for
     # hundreds, train.py:396-420)
     parser.add_argument("--pose-epochs", type=int, default=48)
+    parser.add_argument("--reuse-seg", action="store_true",
+                        help="load the existing segmentation ckpt "
+                             "instead of retraining")
     parser.add_argument("--artifact", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "artifacts", "demo_results_round2.json"))
@@ -53,31 +56,52 @@ def main():
 
     # --- segmentation training ------------------------------------------
     t0 = time.time()
-    train_ds = segmentation_dataset.SegmentationDataset(
-        root, "synth", mode="train", label_mode="gen", output_size=64)
-    valid_ds = segmentation_dataset.SegmentationDataset(
-        root, "synth", mode="test", label_mode="gen")
-    cfg = seg.SegConfig(classes=2, epochs=args.seg_epochs, batch_size=4,
-                        lr=3e-3)
-    seg_out = seg.segmentation_training(
-        lambda: loader.Loader(train_ds, 4, seed=0),
-        lambda: loader.Loader(valid_ds, 4, shuffle=False, drop_last=False),
-        cfg, out_dir=os.path.join(root, "segmentation", "trained_models",
-                                  "synth"),
-        dtype=jnp.bfloat16, sample_shape=(64, 64))
-    results["segmentation"] = {
-        "best_valid_miou": round(seg_out["best_iou"], 4),
-        "epochs": args.seg_epochs,
-        "seconds": round(time.time() - t0, 1),
-    }
-    print(json.dumps({"stage": "segmentation", **results["segmentation"]}),
-          flush=True)
+    seg_ckpt_dir = os.path.join(root, "segmentation", "trained_models",
+                                "synth")
+    if args.reuse_seg and os.path.exists(
+            os.path.join(seg_ckpt_dir, "Unet_resnet34.ckpt.npz")):
+        from autoposeestimation_tpu.train import checkpoints as _ckpt
+        _out = _ckpt.load_checkpoint(
+            os.path.join(seg_ckpt_dir, "Unet_resnet34.ckpt.npz"))
+        seg_out = {"variables": _out["variables"],
+                   "best_iou": _out["meta"].get("best_iou", -1.0)}
+        results["segmentation"] = {"reused": True}
+        print(json.dumps({"stage": "segmentation", "reused": True}),
+              flush=True)
+    else:
+        train_ds = segmentation_dataset.SegmentationDataset(
+            root, "synth", mode="train", label_mode="gen", output_size=64)
+        valid_ds = segmentation_dataset.SegmentationDataset(
+            root, "synth", mode="test", label_mode="gen")
+        cfg = seg.SegConfig(classes=2, epochs=args.seg_epochs, batch_size=4,
+                            lr=3e-3)
+        seg_out = seg.segmentation_training(
+            lambda: loader.Loader(train_ds, 4, seed=0),
+            lambda: loader.Loader(valid_ds, 4, shuffle=False, drop_last=False),
+            cfg, out_dir=os.path.join(root, "segmentation", "trained_models",
+                                      "synth"),
+            dtype=jnp.bfloat16, sample_shape=(64, 64))
+        results["segmentation"] = {
+            "best_valid_miou": round(seg_out["best_iou"], 4),
+            "epochs": args.seg_epochs,
+            "seconds": round(time.time() - t0, 1),
+        }
+        print(json.dumps({"stage": "segmentation", **results["segmentation"]}),
+              flush=True)
 
     # --- DenseFusion training ---------------------------------------------
+    # Two explicit phases: estimator, then refiner training against the BEST
+    # estimator checkpoint. The reference reaches the refine phase through
+    # its <0.01 test margin so the frozen estimator is near-best by
+    # construction (train.py:396-410); an epoch-forced transition must reload
+    # the best estimator explicitly or the refiner trains against (and eval
+    # pairs it with) a drifted snapshot — the round-1 "refiner hurts" defect.
+    from autoposeestimation_tpu.train import checkpoints
+
     t0 = time.time()
+    est_epochs = max(args.pose_epochs // 3, 2)
     dcfg = dft.DFConfig(batch_size=4, num_points=200, num_points_mesh=250,
-                        lr=1e-4,
-                        refine_epoch_margin=max(args.pose_epochs // 3, 2))
+                        lr=1e-4, refine_epoch_margin=10 ** 9)
     state = dft.create_trainer(num_obj=1, cfg=dcfg, crop=64,
                                dtype=jnp.bfloat16)
     ptrain = pose_dataset.PoseDataset(root, "synth", mode="train",
@@ -88,17 +112,34 @@ def main():
     pimg = pose_dataset.PoseDataset(root, "synth", mode="test", num_pt=200,
                                     num_pt_mesh=250, crop=64, return_raw=True)
     pose_dir = os.path.join(root, "DenseFusion", "trained_models", "synth")
-    state = dft.train(
-        state,
-        lambda: loader.Loader(ptrain, 4, seed=0),
-        lambda: loader.Loader(ptest, 4, shuffle=False, drop_last=False),
+    train_kw = dict(
         out_dir=pose_dir,
-        epochs=args.pose_epochs + 1,
         image_dump_dir=os.path.join(pose_dir, "logs", "images"),
         image_batches=lambda: loader.Loader(pimg, 4, shuffle=False,
                                             drop_last=False))
+    tb = lambda: loader.Loader(ptrain, 4, seed=0)
+    vb = lambda: loader.Loader(ptest, 4, shuffle=False, drop_last=False)
+    for stale in ("pose_model", "pose_refine_model", "trainer_resume"):
+        for suffix in (".npz", ".npz.meta.json"):
+            path = os.path.join(pose_dir, stale + suffix)
+            if os.path.exists(path):
+                os.remove(path)
+    state = dft.train(state, tb, vb, epochs=est_epochs + 1, **train_kw)
+
+    best_est = checkpoints.load_checkpoint(
+        os.path.join(pose_dir, "pose_model.npz"), state.pose_vars)
+    state.pose_vars = jax.tree_util.tree_map(jnp.asarray,
+                                             best_est["variables"])
+    state.best_test = float(best_est["meta"]["test_dis"])
+    state.refine_start = True
+    state.refine_tx = dft.make_optimizer(state.lr)
+    state.refine_opt_state = state.refine_tx.init(
+        state.refine_vars["params"])
+    state.cfg.start_epoch = est_epochs + 1
+    state = dft.train(state, tb, vb, epochs=args.pose_epochs + 1, **train_kw)
     results["pose_training"] = {
         "best_test_add_m": round(state.best_test, 5),
+        "estimator_best_add_m": round(float(best_est["meta"]["test_dis"]), 5),
         "refine_phase_reached": state.refine_start,
         "epochs": args.pose_epochs,
         "seconds": round(time.time() - t0, 1),
@@ -106,20 +147,27 @@ def main():
     print(json.dumps({"stage": "pose_training", **results["pose_training"]}),
           flush=True)
 
-    # --- ADD(-S) eval: estimator-only and with refinement --------------------
-    # (a briefly-trained refiner can hurt; the reference only engages it after
-    # hundreds of epochs at ADD < 0.01)
+    # --- ADD(-S) eval on the BEST checkpoints (the reference eval loads
+    # pose_model.pth + pose_refine_model.pth, experiments/eval.py:15) ------
+    state.pose_vars = jax.tree_util.tree_map(jnp.asarray,
+                                             best_est["variables"])
+    refine_path = os.path.join(pose_dir, "pose_refine_model.npz")
+    refine_saved = os.path.exists(refine_path)
+    if refine_saved:
+        state.refine_vars = jax.tree_util.tree_map(
+            jnp.asarray, checkpoints.load_checkpoint(
+                refine_path, state.refine_vars)["variables"])
     add_est = eval_mod.evaluate(
         state, lambda: loader.Loader(ptest, 4, shuffle=False,
                                      drop_last=False),
         ["ball"], refine=False)
     add_ref = add_est
-    if state.refine_start:
+    if refine_saved:
         add_ref = eval_mod.evaluate(
             state, lambda: loader.Loader(ptest, 4, shuffle=False,
                                          drop_last=False),
             ["ball"], refine=True, iteration=dcfg.iteration)
-    use_refine = (state.refine_start
+    use_refine = (refine_saved
                   and add_ref["ball"]["dis"] <= add_est["ball"]["dis"])
     results["eval"] = {"estimator_only": add_est, "with_refine": add_ref,
                        "use_refine": use_refine}
@@ -180,15 +228,20 @@ def main():
             attribution[f"cam_err_{tag}_estimator"] = round(cam_err(est), 5)
             attribution[f"cam_err_{tag}_refined"] = round(cam_err(ref), 5)
 
-        # camera-frame vs robot-frame: compose with the known robot2cam and
-        # measure against the robot-frame center (frame-composition check)
+        # robot-frame composition check: with exact calibration transforms
+        # the position-error NORM is invariant under the rigid robot2cam, so
+        # robot_frame_err == cam_frame_err proves the frame composition adds
+        # nothing (any difference would mean a transform bug)
         cam2obj = np.asarray(T.pose_to_tf(
             jnp.asarray(pred["rotation"]),
             jnp.asarray(pred["position"]) * 1000.0))
         robot2obj = robot2cam @ cam2obj
-        attribution["robot_frame_err_m"] = round(float(np.linalg.norm(
-            robot2obj[:3, 3] / 1000.0 - center / 1000.0)), 5)
+        robot_err = float(np.linalg.norm(
+            robot2obj[:3, 3] / 1000.0 - center / 1000.0))
+        attribution["robot_frame_err_m"] = round(robot_err, 5)
         attribution["cam_frame_err_m"] = round(err, 5)
+        attribution["frame_composition_exact"] = bool(
+            abs(robot_err - err) < 1e-6)
     # NOTE: the host loop blocks on the tunneled chip every frame, so this
     # measures tunnel round-trip latency, not device throughput (bench.py
     # pipelines dispatches and measures the device).

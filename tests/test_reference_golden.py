@@ -62,7 +62,8 @@ def extract_ref_source(rel, names, globals_ns):
     tree = ast.parse(src)
     picked = []
     for node in tree.body:
-        if isinstance(node, ast.FunctionDef) and node.name in names:
+        if isinstance(node, (ast.FunctionDef, ast.ClassDef)) \
+                and node.name in names:
             picked.append(ast.get_source_segment(src, node))
         elif isinstance(node, ast.Assign) and any(
                 isinstance(t, ast.Name) and t.id in names
@@ -225,3 +226,56 @@ def test_get_bbox_golden():
         want = tuple(int(v) for v in ns["get_bbox"](mask))
         got = tuple(int(v) for v in projection.get_bbox(jnp.asarray(mask)))
         assert got == want, f"case {i}: got {got} want {want}"
+
+
+def test_jaccard_loss_golden():
+    """Our soft-jaccard vs the reference's torch jaccard_loss
+    (/root/reference/segmentation/utils.py:71-114), including the
+    classes-present-in-batch restriction."""
+    import torch
+
+    from autoposeestimation_tpu.models import losses as L
+
+    ns = extract_ref_source("segmentation/utils.py", {"jaccard_loss"},
+                            {"np": np, "torch": torch,
+                             "F": torch.nn.functional})
+    rng = np.random.default_rng(0)
+    for c, present in [(4, (0, 1, 2, 3)), (4, (0, 2)), (3, (1,)), (5, (0,))]:
+        logits = rng.normal(size=(2, c, 16, 20)).astype(np.float32)
+        labels = rng.choice(np.asarray(present), size=(2, 16, 20)) \
+            .astype(np.int64)
+        want = float(ns["jaccard_loss"](torch.from_numpy(labels),
+                                        torch.from_numpy(logits)))
+        # the reference's (B,H,W)-label path reduces over batch+height only
+        # (ndim-dependent dims at utils.py:104) -> per_column=True replicates
+        got = float(L.jaccard_loss(jnp.asarray(labels),
+                                   jnp.asarray(logits.transpose(0, 2, 3, 1)),
+                                   per_column=True))
+        np.testing.assert_allclose(got, want, rtol=1e-5,
+                                   err_msg=f"c={c} present={present}")
+
+
+def test_confusion_iou_golden():
+    """Our confusion-matrix IoU vs the reference's ConfusionMatrix + IoU
+    metric (/root/reference/segmentation/utils.py:117-296; background class
+    excluded from the mean at :296)."""
+    import torch
+
+    from autoposeestimation_tpu.models import losses as L
+
+    ns = extract_ref_source(
+        "segmentation/utils.py", {"Metric", "ConfusionMatrix", "IoU"},
+        {"np": np, "torch": torch, "F": torch.nn.functional})
+    rng = np.random.default_rng(1)
+    c = 5
+    pred = rng.integers(0, c, (3, 24, 30))
+    true = rng.integers(0, c, (3, 24, 30))
+
+    metric = ns["IoU"](num_classes=c)
+    metric.add(torch.from_numpy(pred), torch.from_numpy(true))
+    want_iou, want_miou = metric.value()
+
+    conf = L.confusion_matrix(jnp.asarray(pred), jnp.asarray(true), c)
+    got_iou, got_miou = L.iou_from_confusion(conf)
+    np.testing.assert_allclose(np.asarray(got_iou), want_iou, atol=1e-6)
+    np.testing.assert_allclose(float(got_miou), float(want_miou), atol=1e-6)
