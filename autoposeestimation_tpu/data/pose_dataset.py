@@ -57,6 +57,7 @@ class PoseDataset:
         self.crop = crop
         self.data_root = io.data_dir(root)
         self.label_root = io.label_dir(root)
+        self.seed = seed
         self.rng = random.Random(seed)
         self.np_rng = np.random.default_rng(seed)
 
@@ -130,6 +131,12 @@ class PoseDataset:
             stem = self.extra_items[self.rng.randrange(len(self.extra_items))]
             label_mode = "new_pred"
         img, depth, label, image_meta, meta = self._load(stem, label_mode)
+        # test mode draws points from a per-item stream so every epoch's
+        # eval (and the post-training eval) sees the *same* subsample —
+        # otherwise best-checkpoint selection is a min over sampling noise
+        # and unreproducible (round-2 demo defect)
+        item_rng = (self.np_rng if self.mode == "train"
+                    else np.random.default_rng((self.seed, index)))
         intr = image_meta["intr"]
         obj = self.classes.index(meta["cls_name"])
 
@@ -207,7 +214,7 @@ class PoseDataset:
         if len(choose) > self.num_pt:
             sel = np.zeros(len(choose), dtype=int)
             sel[: self.num_pt] = 1
-            self.np_rng.shuffle(sel)
+            item_rng.shuffle(sel)
             choose = choose[sel.nonzero()]
         else:
             choose = np.pad(choose, (0, self.num_pt - len(choose)), "wrap")
@@ -225,8 +232,8 @@ class PoseDataset:
 
         model = self.cld[obj]
         if len(model) > self.num_pt_mesh:
-            dell = self.np_rng.choice(len(model), len(model) - self.num_pt_mesh,
-                                      replace=False)
+            dell = item_rng.choice(len(model), len(model) - self.num_pt_mesh,
+                                   replace=False)
             model = np.delete(model, dell, axis=0)
         elif len(model) < self.num_pt_mesh:
             idx2 = np.arange(self.num_pt_mesh) % len(model)
@@ -235,6 +242,7 @@ class PoseDataset:
         target = model @ target_r.T + target_t
         if self.add_noise:
             target = target + add_t
+            target_t = target_t + add_t
 
         # nearest-resample the (win, win) color window onto the static crop
         # grid (identity slice when win == crop) and remap choose to it
@@ -255,6 +263,11 @@ class PoseDataset:
             "model_points": model.astype(np.float32),
             "obj_idx": np.int32(obj),
             "is_sym": np.bool_(obj in self.symmetry_obj_idx),
+            # ground-truth pose for translation/rotation error metrics —
+            # ADD-S on near-symmetric objects absorbs translation error, so
+            # grasp-relevant eval needs the raw pose too
+            "target_t": target_t.astype(np.float32),
+            "target_r": target_r.astype(np.float32),
         }
         if self.return_raw:
             out["raw_img"] = img_np.astype(np.uint8)

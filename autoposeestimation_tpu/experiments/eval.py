@@ -19,16 +19,28 @@ def evaluate(state: "dft.TrainerState", test_batches: Callable[[], Iterable],
              classes, refine: bool = True, iteration: int = 2,
              success_threshold: float = 0.02) -> Dict:
     """Returns {cls: {'dis', '<2', '>=2', 'p'}, 'overall': {...}}."""
-    results = {cls: {"dis": [], "<2": 0, ">=2": 0} for cls in classes}
+    results = {cls: {"dis": [], "t_err": [], "<2": 0, ">=2": 0}
+               for cls in classes}
     for batch in test_batches():
-        dis = dft.eval_step(state.pose_vars, state.refine_vars, batch,
-                            state.w, state.posenet, state.refiner,
-                            refine and state.refine_vars is not None,
-                            iteration, state.cfg.with_sym)
+        use_refine = refine and state.refine_vars is not None
+        if "target_t" in batch:
+            dis, quat, trans = dft.eval_step_full(
+                state.pose_vars, state.refine_vars, batch, state.w,
+                state.posenet, state.refiner, use_refine, iteration,
+                state.cfg.with_sym)
+            t_err = np.linalg.norm(
+                np.asarray(trans) - np.asarray(batch["target_t"]), axis=1)
+        else:
+            dis = dft.eval_step(state.pose_vars, state.refine_vars, batch,
+                                state.w, state.posenet, state.refiner,
+                                use_refine, iteration, state.cfg.with_sym)
+            t_err = np.full(len(np.asarray(batch["obj_idx"])), np.nan)
         dis = np.asarray(dis)
-        for d, obj in zip(dis.tolist(), np.asarray(batch["obj_idx"]).tolist()):
+        for d, te, obj in zip(dis.tolist(), t_err.tolist(),
+                              np.asarray(batch["obj_idx"]).tolist()):
             cls = classes[int(obj)]
             results[cls]["dis"].append(d)
+            results[cls]["t_err"].append(te)
             results[cls]["<2" if d < success_threshold else ">=2"] += 1
 
     total_less = sum(v["<2"] for v in results.values())
@@ -37,6 +49,10 @@ def evaluate(state: "dft.TrainerState", test_batches: Callable[[], Iterable],
         n = v["<2"] + v[">=2"]
         v["p"] = round(v["<2"] / n * 100, 2) if n else float("nan")
         v["dis"] = round(float(np.mean(v["dis"])), 5) if v["dis"] else float("nan")
+        with np.errstate(invalid="ignore"):
+            v["t_err"] = (round(float(np.nanmean(v["t_err"])), 5)
+                          if v["t_err"] and not np.all(np.isnan(v["t_err"]))
+                          else float("nan"))
     results["overall"] = {
         "p": round(total_less / max(total_less + total_more, 1) * 100, 2),
         "n": total_less + total_more,

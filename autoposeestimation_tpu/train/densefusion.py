@@ -158,6 +158,37 @@ def eval_step(pose_vars, refine_vars, batch, w, posenet, refiner,
     return dis
 
 
+@functools.partial(jax.jit, static_argnames=("posenet", "refiner",
+                                             "refine_start", "iteration",
+                                             "with_sym"))
+def eval_step_full(pose_vars, refine_vars, batch, w, posenet, refiner,
+                   refine_start: bool = False, iteration: int = 2,
+                   with_sym: bool = True):
+    """eval_step plus the composed predicted pose (quat, trans). ADD-S on
+    (near-)symmetric objects absorbs translation error, so grasp-relevant
+    evaluation also needs the raw predicted pose to compare against the
+    batch's target_t/target_r."""
+    pred_r, pred_t, pred_c, emb = posenet.apply(
+        pose_vars, batch["img"], batch["cloud"], batch["choose"],
+        batch["obj_idx"], train=False)
+    est = losses.pose_loss(
+        pred_r, pred_t, pred_c, batch["target"], batch["model_points"],
+        batch["cloud"], batch["is_sym"], w=w, with_sym=with_sym)
+    dis = est.dis
+    quat, trans = losses.estimator_prediction(pred_r, pred_t, pred_c,
+                                              batch["cloud"])
+    if refine_start:
+        new_points, new_target = est.new_points, est.new_target
+        for _ in range(iteration):
+            dr, dt = refiner.apply(refine_vars, new_points, emb,
+                                   batch["obj_idx"])
+            _, dis, new_points, new_target = losses.refine_loss(
+                dr, dt, new_target, batch["model_points"], new_points,
+                batch["is_sym"], with_sym=with_sym)
+            quat, trans = losses.compose_refined(dr, dt, quat, trans)
+    return dis, quat, trans
+
+
 @dataclass
 class TrainerState:
     """Host-side two-phase state machine."""
@@ -257,17 +288,29 @@ def train(state: TrainerState, train_batches: Iterable, test_batches,
                 epoch_losses.append(float(metrics["loss"]))
             epoch_dis.append(float(metrics["dis"]))
 
-        test_dis = []
+        test_dis, test_terr = [], []
         for batch in test_batches():
-            dis = eval_step(state.pose_vars, state.refine_vars, batch,
-                            state.w, state.posenet, state.refiner,
-                            state.refine_start, cfg.iteration, cfg.with_sym)
+            if "target_t" in batch:
+                dis, _, trans = eval_step_full(
+                    state.pose_vars, state.refine_vars, batch, state.w,
+                    state.posenet, state.refiner, state.refine_start,
+                    cfg.iteration, cfg.with_sym)
+                test_terr.extend(np.linalg.norm(
+                    np.asarray(trans) - np.asarray(batch["target_t"]),
+                    axis=1).tolist())
+            else:
+                dis = eval_step(state.pose_vars, state.refine_vars, batch,
+                                state.w, state.posenet, state.refiner,
+                                state.refine_start, cfg.iteration,
+                                cfg.with_sym)
             test_dis.extend(np.asarray(dis).tolist())
         test_mean = float(np.mean(test_dis)) if test_dis else float("inf")
 
         log.append(losses=float(np.mean(epoch_losses or [0.0])),
                    train_dists=float(np.mean(epoch_dis or [0.0])),
                    test_dists=test_mean,
+                   test_t_errs=float(np.mean(test_terr)) if test_terr
+                   else float("nan"),
                    epoch_seconds=time.time() - t0)
 
         if test_mean <= state.best_test:

@@ -48,11 +48,17 @@ def main():
 
     center = np.asarray([20.0, -10.0, 35.0])
     if not io.list_objects(root):
+        # 32 viewpoints -> 26 train / 6 test: the round-2 run's 3-sample test
+        # set made every eval a coin flip (ADD spread over point draws was
+        # larger than the estimator-vs-refiner gap).
+        # symmetric=0: the bump makes the object genuinely asymmetric, and
+        # ADD-S on a near-sphere never penalizes translation drift — the
+        # round-2 root cause of 1-2 cm "good" ADD next to 5 cm position error
         synthetic.make_dataset(root, objects=[
             synthetic.SphereObject("ball", center, 35.0, (210, 40, 40),
-                                   symmetric=1,
+                                   symmetric=0,
                                    parts=(((25.0, 25.0, 25.0), 15.0),))],
-            cfg=synthetic.SynthConfig(n_viewpoints=16))
+            cfg=synthetic.SynthConfig(n_viewpoints=32))
 
     # --- segmentation training ------------------------------------------
     t0 = time.time()
@@ -106,7 +112,7 @@ def main():
                                dtype=jnp.bfloat16)
     ptrain = pose_dataset.PoseDataset(root, "synth", mode="train",
                                       num_pt=200, num_pt_mesh=250, crop=64,
-                                      add_noise=False)
+                                      add_noise=True, noise_trans=0.01)
     ptest = pose_dataset.PoseDataset(root, "synth", mode="test", num_pt=200,
                                      num_pt_mesh=250, crop=64)
     pimg = pose_dataset.PoseDataset(root, "synth", mode="test", num_pt=200,
@@ -167,17 +173,29 @@ def main():
             state, lambda: loader.Loader(ptest, 4, shuffle=False,
                                          drop_last=False),
             ["ball"], refine=True, iteration=dcfg.iteration)
-    use_refine = (refine_saved
-                  and add_ref["ball"]["dis"] <= add_est["ball"]["dis"])
+    # choose by translation error: ADD-S on the near-spherical demo object
+    # absorbs translation error, and translation is what the grasp needs
+    # (<2 cm, grasping_utils.py:7-25); fall back to ADD(-S) when t_err
+    # is unavailable
+    te_est, te_ref = add_est["ball"]["t_err"], add_ref["ball"]["t_err"]
+    if refine_saved and np.isfinite(te_est) and np.isfinite(te_ref):
+        use_refine = te_ref <= te_est
+    else:
+        use_refine = (refine_saved
+                      and add_ref["ball"]["dis"] <= add_est["ball"]["dis"])
     results["eval"] = {"estimator_only": add_est, "with_refine": add_ref,
                        "use_refine": use_refine}
     print(json.dumps({"stage": "eval",
                       "estimator_add_m": add_est["ball"]["dis"],
                       "refined_add_m": add_ref["ball"]["dis"],
+                      "estimator_t_err_m": te_est,
+                      "refined_t_err_m": te_ref,
                       "p_lt_2cm": add_est["ball"]["p"],
                       "use_refine": use_refine}), flush=True)
 
-    # --- trained serving fps ------------------------------------------------
+    # --- trained serving over the FULL test split ---------------------------
+    # round-2 defect: a single hand-picked frame made the serving number a
+    # lottery ticket; measure position error on every held-out viewpoint
     model_cloud = io.read_xyz(os.path.join(io.pc_dir(root), "ball",
                                            "ball.xyz")) / 1000.0
     models = predict.build_models(
@@ -187,29 +205,55 @@ def main():
         num_points=200, crop=64,
         refine_iters=dcfg.iteration if use_refine else 0,
         dtype=jnp.bfloat16, img_hw=(128, 160))
-    run_dir = os.path.join(io.data_dir(root), "ball", "foreground")
-    meta = io.read_sample_meta(os.path.join(run_dir, "000002.meta.json"))
-    image = io.read_color(os.path.join(run_dir, "000002.color.png"))
-    depth = io.read_depth(os.path.join(run_dir,
-                                       "000002.depth.png")).astype(np.float32)
-    out = predict.full_prediction(image, depth, meta, models,
-                                  key=jax.random.PRNGKey(0))
-    found = "ball" in out["predictions"]
-    err = None
-    attribution = {}
-    if found:
-        robot2cam = io.robot2cam_from_meta(meta)
+    ds_dir = io.dataset_dir(root, "pose_estimation", "synth")
+    test_stems = io.read_lines(os.path.join(ds_dir, "test_data_list.txt"))
+    frames = []
+    for stem in test_stems:
+        s_meta = io.read_sample_meta(os.path.join(
+            io.data_dir(root), stem + ".meta.json"))
+        s_image = io.read_color(os.path.join(
+            io.data_dir(root), stem + ".color.png"))
+        s_depth = io.read_depth(os.path.join(
+            io.data_dir(root), stem + ".depth.png")).astype(np.float32)
+        s_out = predict.full_prediction(s_image, s_depth, s_meta, models,
+                                        key=jax.random.PRNGKey(0))
+        robot2cam = io.robot2cam_from_meta(s_meta)
         gt_cam = (np.linalg.inv(robot2cam)
                   @ np.append(center, 1.0))[:3] / 1000.0
-        pred = out["predictions"]["ball"]
-        err = float(np.linalg.norm(pred["position"] - gt_cam))
+        if "ball" in s_out["predictions"]:
+            p = s_out["predictions"]["ball"]
+            frames.append({"stem": stem, "found": True,
+                           "err": float(np.linalg.norm(
+                               p["position"] - gt_cam)),
+                           "image": s_image, "depth": s_depth,
+                           "meta": s_meta, "gt_cam": gt_cam, "pred": p,
+                           "robot2cam": robot2cam})
+        else:
+            frames.append({"stem": stem, "found": False})
+    found_frames = [f for f in frames if f["found"]]
+    errs = [f["err"] for f in found_frames]
+    found = bool(found_frames)
+    err = float(np.mean(errs)) if errs else None
+    attribution = {}
+    if found:
+        attribution["n_test_frames"] = len(frames)
+        attribution["n_found"] = len(found_frames)
+        attribution["pos_err_mean_m"] = round(float(np.mean(errs)), 5)
+        attribution["pos_err_median_m"] = round(float(np.median(errs)), 5)
+        attribution["pos_err_max_m"] = round(float(np.max(errs)), 5)
+        attribution["pos_err_per_frame"] = {
+            f["stem"]: round(f["err"], 5) for f in found_frames}
 
-        # ---- per-stage error attribution (round-2 VERDICT item 5) --------
+        # ---- per-stage attribution on the WORST frame ---------------------
         from autoposeestimation_tpu.utils import transforms as T
 
+        worst = max(found_frames, key=lambda f: f["err"])
+        attribution["worst_frame"] = worst["stem"]
+        image, depth, meta = worst["image"], worst["depth"], worst["meta"]
+        gt_cam, pred, robot2cam = (worst["gt_cam"], worst["pred"],
+                                   worst["robot2cam"])
         gt_label = io.read_label(os.path.join(
-            io.label_dir(root), "ball", "foreground",
-            "000002.gen.label.png")) > 0
+            io.label_dir(root), worst["stem"] + ".gen.label.png")) > 0
         pm = pred["mask"] > 0
         inter = float((pm & gt_label).sum())
         union = float((pm | gt_label).sum())
@@ -239,17 +283,19 @@ def main():
         robot_err = float(np.linalg.norm(
             robot2obj[:3, 3] / 1000.0 - center / 1000.0))
         attribution["robot_frame_err_m"] = round(robot_err, 5)
-        attribution["cam_frame_err_m"] = round(err, 5)
+        attribution["cam_frame_err_m"] = round(worst["err"], 5)
         attribution["frame_composition_exact"] = bool(
-            abs(robot_err - err) < 1e-6)
+            abs(robot_err - worst["err"]) < 1e-6)
     # NOTE: the host loop blocks on the tunneled chip every frame, so this
     # measures tunnel round-trip latency, not device throughput (bench.py
     # pipelines dispatches and measures the device).
+    ff = found_frames[0] if found_frames else None
     t0 = time.time()
     n = 30
     for i in range(n):
-        out = predict.full_prediction(image, depth, meta, models,
-                                      key=jax.random.PRNGKey(i))
+        if ff is not None:
+            predict.full_prediction(ff["image"], ff["depth"], ff["meta"],
+                                    models, key=jax.random.PRNGKey(i))
     fps = n / (time.time() - t0)
     results["serving"] = {"object_found": found,
                           "position_error_m": err,

@@ -68,6 +68,24 @@ def test_pose_dataset_geometry(synth_root):
     np.testing.assert_allclose(d.mean(), radius, rtol=0.05)
 
 
+def test_pose_dataset_test_mode_deterministic(synth_root):
+    """Test-mode point/model subsampling must be a pure function of the item
+    index so every epoch's eval (and the post-training eval) scores the same
+    draws — otherwise best-checkpoint selection is a min over noise."""
+    ds = pose_dataset.PoseDataset(synth_root, "synth", mode="test",
+                                  num_pt=50, num_pt_mesh=60, crop=64)
+    a0, b0 = ds[0], ds[1]
+    a1 = ds[0]  # re-read after consuming another item
+    np.testing.assert_array_equal(a0["choose"], a1["choose"])
+    np.testing.assert_array_equal(a0["model_points"], a1["model_points"])
+    # different items draw differently
+    assert not np.array_equal(a0["choose"], b0["choose"])
+    # GT pose fields: target == model @ R.T + t
+    np.testing.assert_allclose(
+        a0["model_points"] @ a0["target_r"].T + a0["target_t"],
+        a0["target"], atol=1e-5)
+
+
 def test_pose_dataset_train_augmented(synth_root):
     ds = pose_dataset.PoseDataset(synth_root, "synth", mode="train",
                                   num_pt=150, num_pt_mesh=200, crop=64,
