@@ -142,18 +142,38 @@ def refine_loss(pred_r, pred_t, target, model_points, points, is_sym,
 # Pose extraction (tools/utils.py parity)
 # ---------------------------------------------------------------------------
 
-@jax.jit
-def estimator_prediction(pred_r, pred_t, pred_c, points):
+@functools.partial(jax.jit, static_argnames=("topk",))
+def estimator_prediction(pred_r, pred_t, pred_c, points, topk: int = 1):
     """Max-confidence candidate -> (quat (B,4), trans (B,3))
-    (my_estimator_prediction parity, tools/utils.py:7-18)."""
+    (my_estimator_prediction parity, tools/utils.py:7-18).
+
+    topk > 1 is an opt-in improvement beyond the reference: instead of
+    trusting the single argmax candidate, average the top-k candidates
+    weighted by confidence (quaternions sign-aligned to the best one before
+    the chord mean). Zero-mean per-candidate noise shrinks ~1/sqrt(k); the
+    reference's single-point pick is the k=1 special case and the default."""
     if pred_c.ndim == 3:
         pred_c = pred_c[..., 0]
-    which = jnp.argmax(pred_c, axis=1)
-    take = lambda x: jnp.take_along_axis(
-        x, which[:, None, None].astype(jnp.int32).repeat(x.shape[-1], -1),
-        axis=1)[:, 0]
-    quat = T.quat_normalize(take(pred_r))
-    trans = take(points) + take(pred_t)
+    if topk <= 1:
+        which = jnp.argmax(pred_c, axis=1)
+        take = lambda x: jnp.take_along_axis(
+            x, which[:, None, None].astype(jnp.int32).repeat(x.shape[-1], -1),
+            axis=1)[:, 0]
+        quat = T.quat_normalize(take(pred_r))
+        trans = take(points) + take(pred_t)
+        return quat, trans
+    conf, idx = jax.lax.top_k(pred_c, topk)                    # (B, K)
+    gather = lambda x: jnp.take_along_axis(
+        x, idx[..., None].astype(jnp.int32), axis=1)           # (B, K, 3|4)
+    quats = jax.vmap(jax.vmap(T.quat_normalize))(gather(pred_r))
+    # sign-align every candidate to the top-1 quaternion (q and -q are the
+    # same rotation; a naive mean would cancel them)
+    sign = jnp.sign(jnp.sum(quats * quats[:, :1], axis=-1, keepdims=True))
+    quats = quats * jnp.where(sign == 0, 1.0, sign)
+    w = conf / jnp.maximum(jnp.sum(conf, axis=1, keepdims=True), 1e-12)
+    quat = T.quat_normalize(jnp.sum(quats * w[..., None], axis=1))
+    cands_t = gather(points) + gather(pred_t)                  # (B, K, 3)
+    trans = jnp.sum(cands_t * w[..., None], axis=1)
     return quat, trans
 
 

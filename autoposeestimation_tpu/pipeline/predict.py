@@ -49,6 +49,9 @@ class PredictionModels(NamedTuple):
     num_points: int
     crop: int
     refine_iters: int
+    # >1 = confidence-weighted top-k candidate averaging (beyond-reference
+    # accuracy option; 1 = the reference's argmax pick)
+    agg_topk: int = 1
 
 
 def _segment(seg_model, seg_vars, image):
@@ -83,7 +86,7 @@ def _full_prediction_jit(seg_vars, pose_vars, refine_vars,
     """models_static: (seg_model, posenet, refiner, num_classes_fg, num_points,
     crop, refine_iters) — hashable module refs + ints."""
     (seg_model, posenet, refiner, k_fg, num_points, crop,
-     refine_iters) = models_static
+     refine_iters, agg_topk) = models_static
 
     probs, pred_arg = _segment(seg_model, seg_vars, image)
 
@@ -109,7 +112,8 @@ def _full_prediction_jit(seg_vars, pose_vars, refine_vars,
     obj_idx = jnp.arange(k_fg, dtype=jnp.int32)
     pred_r, pred_t, pred_c, emb = posenet.apply(
         pose_vars, crops, clouds, chooses, obj_idx)
-    quat, trans = losses.estimator_prediction(pred_r, pred_t, pred_c, clouds)
+    quat, trans = losses.estimator_prediction(pred_r, pred_t, pred_c, clouds,
+                                              topk=agg_topk)
 
     new_points = losses.rebase_points(quat, trans, clouds)
     for _ in range(refine_iters):
@@ -145,7 +149,8 @@ def _full_prediction_batched_jit(seg_vars, pose_vars, refine_vars, images,
 @functools.partial(jax.jit, static_argnames=("models_static", "cls_idx"))
 def _pose_from_mask_jit(pose_vars, refine_vars, image, depth, mask, intr,
                         depth_scale, key, models_static, cls_idx: int):
-    (_, posenet, refiner, _, num_points, crop, refine_iters) = models_static
+    (_, posenet, refiner, _, num_points, crop, refine_iters,
+     agg_topk) = models_static
     h_img, w_img = depth.shape
     r0, c0, win = proj.zoom_window_bbox(mask, crop, h_img, w_img)
     cloud, choose, count = proj.backproject_choose_zoom(
@@ -155,7 +160,7 @@ def _pose_from_mask_jit(pose_vars, refine_vars, image, depth, mask, intr,
     pred_r, pred_t, pred_c, emb = posenet.apply(
         pose_vars, crops[None], cloud[None], choose[None], obj)
     quat, trans = losses.estimator_prediction(pred_r, pred_t, pred_c,
-                                              cloud[None])
+                                              cloud[None], topk=agg_topk)
     new_points = losses.rebase_points(quat, trans, cloud[None])
     for _ in range(refine_iters):
         dr, dt = refiner.apply(refine_vars, new_points, emb, obj)
@@ -177,7 +182,8 @@ def pose_from_mask(image, depth, meta, models: PredictionModels, mask,
         key = jax.random.PRNGKey(0)
     iters = models.refine_iters if refine_iters is None else refine_iters
     static = (models.seg_model, models.posenet, models.refiner,
-              len(models.classes), models.num_points, models.crop, iters)
+              len(models.classes), models.num_points, models.crop, iters,
+              models.agg_topk)
     quat, trans, count = _pose_from_mask_jit(
         models.pose_vars, models.refine_vars, jnp.asarray(image),
         jnp.asarray(depth, jnp.float32), jnp.asarray(mask, bool),
@@ -191,7 +197,8 @@ def build_models(num_classes_fg: int, model_points: np.ndarray,
                  classes, seg_vars=None, pose_vars=None, refine_vars=None,
                  num_points: int = 1000, crop: int = 320,
                  refine_iters: int = 2, dtype=jnp.bfloat16,
-                 seed: int = 0, img_hw=(480, 640)) -> PredictionModels:
+                 seed: int = 0, img_hw=(480, 640),
+                 agg_topk: int = 1) -> PredictionModels:
     """Construct (or wrap loaded) model variables into a PredictionModels."""
     seg_model = unet.UNet(classes=num_classes_fg + 1, dtype=dtype)
     posenet = densefusion.PoseNet(num_obj=num_classes_fg, dtype=dtype)
@@ -213,7 +220,7 @@ def build_models(num_classes_fg: int, model_points: np.ndarray,
     return PredictionModels(
         seg_model, seg_vars, posenet, pose_vars, refiner, refine_vars,
         tuple(classes), jnp.asarray(model_points, jnp.float32),
-        num_points, crop, refine_iters)
+        num_points, crop, refine_iters, agg_topk)
 
 
 def get_prediction_models(root: str, data_set_name: str,
@@ -274,7 +281,7 @@ def full_prediction(image: np.ndarray, depth: np.ndarray, meta: Dict,
 
     static = (models.seg_model, models.posenet, models.refiner,
               len(models.classes), models.num_points, models.crop,
-              models.refine_iters)
+              models.refine_iters, models.agg_topk)
     # the whole frame runs as one fused graph: 'segmentation' times the device
     # execution, 'pose_estimation' the host transfer of the outputs
     with timer.stage("segmentation"):

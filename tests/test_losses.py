@@ -194,3 +194,39 @@ def test_iou_from_confusion():
     np.testing.assert_allclose(float(iou[1]), 0.5)   # tp 1, fp 1, fn 0
     np.testing.assert_allclose(float(iou[2]), 2 / 3)  # tp 2, fp 0, fn 1
     np.testing.assert_allclose(float(miou), (0.5 + 2 / 3) / 2)
+
+
+def test_estimator_prediction_topk_reduces_noise():
+    """Confidence-weighted top-k averaging (beyond-reference option) must (a)
+    reduce zero-mean candidate noise vs the argmax pick, (b) be exactly the
+    argmax pick at k=1, and (c) handle quaternion sign flips."""
+    rng = np.random.default_rng(0)
+    b, n = 4, 256
+    true_q = np.tile(np.asarray([0.2, -0.4, 0.1, 0.88], np.float32),
+                     (b, 1))
+    true_q /= np.linalg.norm(true_q, axis=1, keepdims=True)
+    true_t = rng.normal(size=(b, 3)).astype(np.float32) * 0.1
+    points = rng.normal(size=(b, n, 3)).astype(np.float32) * 0.05
+    # per-candidate predictions = truth + zero-mean noise; random sign flips
+    noise_q = rng.normal(size=(b, n, 4)).astype(np.float32) * 0.05
+    pred_r = (true_q[:, None] + noise_q) * rng.choice(
+        [-1.0, 1.0], size=(b, n, 1)).astype(np.float32)
+    pred_t = (true_t[:, None] - points
+              + rng.normal(size=(b, n, 3)).astype(np.float32) * 0.02)
+    pred_c = rng.uniform(0.4, 0.6, size=(b, n)).astype(np.float32)
+
+    q1, t1 = losses.estimator_prediction(pred_r, pred_t, pred_c, points)
+    qk, tk = losses.estimator_prediction(pred_r, pred_t, pred_c, points,
+                                         topk=64)
+    err1 = np.linalg.norm(np.asarray(t1) - true_t, axis=1).mean()
+    errk = np.linalg.norm(np.asarray(tk) - true_t, axis=1).mean()
+    assert errk < 0.5 * err1, (errk, err1)
+    # rotation: |dot| -> 1 means same rotation
+    dot1 = np.abs(np.sum(np.asarray(q1) * true_q, axis=1)).mean()
+    dotk = np.abs(np.sum(np.asarray(qk) * true_q, axis=1)).mean()
+    assert dotk >= dot1 - 1e-6
+    # k=1 equals the argmax path exactly
+    q1b, t1b = losses.estimator_prediction(pred_r, pred_t, pred_c, points,
+                                           topk=1)
+    np.testing.assert_allclose(np.asarray(q1b), np.asarray(q1), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(t1b), np.asarray(t1), atol=1e-7)

@@ -262,3 +262,41 @@ def test_trained_refiner_reduces_distance():
     # must beat the no-refinement baseline on held-out errors
     assert after < baseline, (after, baseline, before)
     assert after < 0.5 * baseline, (after, baseline)
+
+
+def test_eval_step_full_pose_matches_distance():
+    """eval_step_full's composed (quat, trans) must reproduce its own reported
+    distance through add_metric — i.e. the pose the t_err metric is computed
+    from is the pose the refine chain actually scored (both phases)."""
+    from autoposeestimation_tpu.models import losses
+
+    cfg = dft.DFConfig(num_points=64, num_points_mesh=48, with_sym=False)
+    state = dft.create_trainer(num_obj=1, cfg=cfg, crop=32,
+                               dtype=jnp.float32, seed=5)
+    rng = np.random.default_rng(7)
+    b, n, m = 2, 64, 48
+    model = (rng.normal(size=(b, m, 3)) * 0.05).astype(np.float32)
+    rotq = rng.normal(size=(b, 4)).astype(np.float32)
+    from autoposeestimation_tpu.utils import transforms as T
+    rot = np.asarray(jax.vmap(T.quat_to_mat)(jnp.asarray(rotq)))
+    t = np.asarray([[0.02, -0.01, 0.6], [0.0, 0.03, 0.7]], np.float32)
+    batch = {
+        "img": rng.normal(size=(b, 32, 32, 3)).astype(np.float32),
+        "cloud": (rng.normal(size=(b, n, 3)) * 0.05 + t[:, None]).astype(
+            np.float32),
+        "choose": rng.integers(0, 32 * 32, size=(b, n)).astype(np.int32),
+        "target": np.einsum("bmj,bij->bmi", model, rot) + t[:, None],
+        "model_points": model,
+        "obj_idx": np.zeros(b, np.int32),
+        "is_sym": np.zeros(b, bool),
+        "target_t": t,
+    }
+    for refine in (False, True):
+        dis, quat, trans = dft.eval_step_full(
+            state.pose_vars, state.refine_vars, batch, state.w,
+            state.posenet, state.refiner, refine, 2, False)
+        add = losses.add_metric(quat, trans, jnp.asarray(batch["target"]),
+                                jnp.asarray(model),
+                                jnp.asarray(batch["is_sym"]), with_sym=False)
+        np.testing.assert_allclose(np.asarray(dis), np.asarray(add),
+                                   rtol=1e-4, atol=1e-5)
