@@ -54,6 +54,16 @@ class PredictionModels(NamedTuple):
     agg_topk: int = 1
 
 
+def static_tuple(models: "PredictionModels", refine_iters: Optional[int] = None):
+    """The hashable static argument for the fused jit graphs. Single source of
+    truth — external callers (bench, driver entry, tests) must use this
+    instead of hand-rolling the tuple."""
+    iters = models.refine_iters if refine_iters is None else refine_iters
+    return (models.seg_model, models.posenet, models.refiner,
+            len(models.classes), models.num_points, models.crop, iters,
+            models.agg_topk)
+
+
 def _segment(seg_model, seg_vars, image):
     x = normalize_imagenet(image)[None]
     logits = seg_model.apply(seg_vars, x)[0]
@@ -180,10 +190,7 @@ def pose_from_mask(image, depth, meta, models: PredictionModels, mask,
         [intr["fx"], intr["fy"], intr["ppx"], intr["ppy"]], np.float32)
     if key is None:
         key = jax.random.PRNGKey(0)
-    iters = models.refine_iters if refine_iters is None else refine_iters
-    static = (models.seg_model, models.posenet, models.refiner,
-              len(models.classes), models.num_points, models.crop, iters,
-              models.agg_topk)
+    static = static_tuple(models, refine_iters)
     quat, trans, count = _pose_from_mask_jit(
         models.pose_vars, models.refine_vars, jnp.asarray(image),
         jnp.asarray(depth, jnp.float32), jnp.asarray(mask, bool),
@@ -279,9 +286,7 @@ def full_prediction(image: np.ndarray, depth: np.ndarray, meta: Dict,
     if key is None:
         key = jax.random.PRNGKey(int(time.time_ns()) % (2 ** 31))
 
-    static = (models.seg_model, models.posenet, models.refiner,
-              len(models.classes), models.num_points, models.crop,
-              models.refine_iters, models.agg_topk)
+    static = static_tuple(models)
     # the whole frame runs as one fused graph: 'segmentation' times the device
     # execution, 'pose_estimation' the host transfer of the outputs
     with timer.stage("segmentation"):

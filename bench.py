@@ -36,8 +36,7 @@ def main():
         num_points=num_points, crop=crop, refine_iters=refine_iters,
         dtype=jnp.bfloat16, img_hw=(h, w))
 
-    static = (models.seg_model, models.posenet, models.refiner,
-              num_classes, num_points, crop, refine_iters)
+    static = predict.static_tuple(models)
 
     # a structured 5-object tabletop frame (ray-traced) so the per-class CCA,
     # choose and crop stages do representative work — noise frames make CCA

@@ -184,8 +184,7 @@ def main():
             np.float32) * 0.05,
         tuple(f"o{i}" for i in range(num_classes)), num_points=1000,
         crop=320, refine_iters=2, dtype=jnp.bfloat16, img_hw=(480, 640))
-    static2 = (models.seg_model, models.posenet, models.refiner,
-               num_classes, 1000, 320, 2)
+    static2 = predict.static_tuple(models)
     intr2 = jnp.asarray([600.0, 600.0, 320.0, 240.0], jnp.float32)
 
     def batched(k):

@@ -103,7 +103,7 @@ def test_batched_full_prediction(synth_root):
         num_classes_fg=2, model_points=rng.normal(size=(2, 40, 3)) * 0.05,
         classes=("a", "b"), num_points=32, crop=32, refine_iters=1,
         dtype=jnp.float32, img_hw=(h, w))
-    static = (models.seg_model, models.posenet, models.refiner, 2, 32, 32, 1)
+    static = predict.static_tuple(models)
     images = jnp.asarray(rng.integers(0, 255, (3, h, w, 3)), jnp.uint8)
     depths = jnp.full((3, h, w), 700.0, jnp.float32)
     intr = jnp.asarray([120.0, 120.0, w / 2, h / 2], jnp.float32)
