@@ -184,28 +184,19 @@ class PoseDataset:
         mask = (label_np == 255) & (depth_np != 0)
         if not mask.any():
             return None
-        rows = np.any(label_np == 255, axis=1)
-        cols = np.any(label_np == 255, axis=0)
-        rr = np.where(rows)[0][[0, -1]]
-        cc_ = np.where(cols)[0][[0, -1]]
-        rc = (rr.sum() + 1) // 2
-        cc = (cc_.sum() + 1) // 2
         h, w = label_np.shape
         # clamp the static window to the frame (small test images), keeping
         # the PSPNet stride-8 requirement
         crop = min(self.crop, h, w)
         crop -= crop % 8
         # dynamic zoom window >= crop covering the 40-px-quantized bbox
-        # (reference get_bbox ladder, dataset.py:342-380) — mirrors the
-        # serving graph's zoom_window_bbox so training and serving see the
-        # same crop policy; objects larger than the static crop are zoomed
-        # instead of truncated
-        q = 40
-        ext = int(max(rr[1] + 1 - rr[0], cc_[1] + 1 - cc_[0]))
-        ext = min(-(-ext // q) * q, 680)
-        win = int(np.clip(ext, crop, min(h, w)))
-        r0 = int(np.clip(rc - win // 2, 0, h - win))
-        c0 = int(np.clip(cc - win // 2, 0, w - win))
+        # (reference get_bbox ladder, dataset.py:342-380) — the EXACT numpy
+        # twin of the serving graph's zoom_window_bbox, so training and
+        # serving crops are the same function of the mask; objects larger
+        # than the static crop are zoomed instead of truncated
+        from ..ops.projection import zoom_window_bbox_np
+
+        r0, c0, win = zoom_window_bbox_np(label_np == 255, crop, h, w)
 
         win_mask = mask[r0:r0 + win, c0:c0 + win]
         choose = win_mask.flatten().nonzero()[0]

@@ -151,6 +151,41 @@ def zoom_window_bbox(mask, crop: int, img_h: int = IMG_H, img_w: int = IMG_W):
     return r0, c0, win
 
 
+def zoom_window_bbox_np(mask: "np.ndarray", crop: int, img_h: int,
+                        img_w: int):
+    """Numpy twin of get_bbox + zoom_window_bbox with IDENTICAL integer math,
+    for host-side dataset code. Training crops and serving crops must be the
+    same function of the mask — a one-pixel window disagreement is a silent
+    train/serve skew. Parity enforced by test_projection."""
+    import numpy as np
+
+    rows = np.any(mask, axis=1)
+    cols = np.any(mask, axis=0)
+    if not rows.any():
+        rmin, rmax, cmin, cmax = 0, 1, 0, 1
+    else:
+        rw = np.where(rows)[0]
+        cw = np.where(cols)[0]
+        rmin, rmax = int(rw[0]), int(rw[-1]) + 1
+        cmin, cmax = int(cw[0]), int(cw[-1]) + 1
+    quant = lambda e: min(-(-e // BORDER_STEP) * BORDER_STEP, BORDER_MAX)
+    r_b, c_b = quant(rmax - rmin), quant(cmax - cmin)
+    rc, cc = (rmin + rmax) // 2, (cmin + cmax) // 2
+    rmin, rmax = rc - r_b // 2, rc + r_b // 2
+    cmin, cmax = cc - c_b // 2, cc + c_b // 2
+    rshift = max(-rmin, 0) - max(rmax - img_h, 0)
+    cshift = max(-cmin, 0) - max(cmax - img_w, 0)
+    rmin, rmax = rmin + rshift, rmax + rshift
+    cmin, cmax = cmin + cshift, cmax + cshift
+
+    ext = max(rmax - rmin, cmax - cmin)
+    win = int(np.clip(ext, crop, min(img_h, img_w)))
+    rc2, cc2 = (rmin + rmax) // 2, (cmin + cmax) // 2
+    r0 = int(np.clip(rc2 - win // 2, 0, img_h - win))
+    c0 = int(np.clip(cc2 - win // 2, 0, img_w - win))
+    return r0, c0, win
+
+
 def resample_window(img, r0, c0, win, crop: int):
     """Nearest-neighbor gather of a dynamic (win, win) window onto a static
     (crop, crop) grid — the jit-safe variable-size crop (zoom semantics like

@@ -249,7 +249,7 @@ def train(state: TrainerState, train_batches: Iterable, test_batches,
           epochs: Optional[int] = None,
           epoch_callback=None, save_resume: bool = True,
           image_dump_dir: Optional[str] = None,
-          image_batches=None) -> TrainerState:
+          image_batches=None, image_every: int = 1) -> TrainerState:
     """The full two-phase loop over batch iterables (each yields batch dicts).
 
     `train_batches`/`test_batches` are callables returning fresh iterators
@@ -329,7 +329,8 @@ def train(state: TrainerState, train_batches: Iterable, test_batches,
         state.maybe_transition(epoch)
         if save_resume:
             save_trainer_snapshot(state, out_dir, next_epoch=epoch + 1)
-        if image_dump_dir and image_batches is not None:
+        if (image_dump_dir and image_batches is not None
+                and epoch % max(image_every, 1) == 0):
             os.makedirs(image_dump_dir, exist_ok=True)
             dump_pose_images(state, image_batches, os.path.join(
                 image_dump_dir, f"test_images_epoch_{epoch}.png"))

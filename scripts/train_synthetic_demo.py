@@ -25,7 +25,7 @@ def main():
     # the refiner needs ~25-30 refine-phase epochs to beat the
     # estimator (round-2 CPU study; the reference trains it for
     # hundreds, train.py:396-420)
-    parser.add_argument("--pose-epochs", type=int, default=48)
+    parser.add_argument("--pose-epochs", type=int, default=120)
     parser.add_argument("--reuse-seg", action="store_true",
                         help="load the existing segmentation ckpt "
                              "instead of retraining")
@@ -51,13 +51,18 @@ def main():
         # 32 viewpoints -> 26 train / 6 test: the round-2 run's 3-sample test
         # set made every eval a coin flip (ADD spread over point draws was
         # larger than the estimator-vs-refiner gap).
-        # symmetric=0: the bump makes the object genuinely asymmetric, and
+        # symmetric=0: the bumps make the object genuinely asymmetric, and
         # ADD-S on a near-sphere never penalizes translation drift — the
-        # round-2 root cause of 1-2 cm "good" ADD next to 5 cm position error
+        # round-2 root cause of 1-2 cm "good" ADD next to 5 cm position error.
+        # THREE bumps distributed around the sphere so the orientation is
+        # observable from every viewpoint (a single bump is occluded from
+        # half the ring, making strict ADD ill-posed there)
         synthetic.make_dataset(root, objects=[
             synthetic.SphereObject("ball", center, 35.0, (210, 40, 40),
                                    symmetric=0,
-                                   parts=(((25.0, 25.0, 25.0), 15.0),))],
+                                   parts=(((25.0, 25.0, 25.0), 15.0),
+                                          ((-30.0, 5.0, 5.0), 12.0),
+                                          ((5.0, -30.0, -10.0), 10.0)))],
             cfg=synthetic.SynthConfig(n_viewpoints=32))
 
     # --- segmentation training ------------------------------------------
@@ -122,7 +127,8 @@ def main():
         out_dir=pose_dir,
         image_dump_dir=os.path.join(pose_dir, "logs", "images"),
         image_batches=lambda: loader.Loader(pimg, 4, shuffle=False,
-                                            drop_last=False))
+                                            drop_last=False),
+        image_every=10)
     tb = lambda: loader.Loader(ptrain, 4, seed=0)
     vb = lambda: loader.Loader(ptest, 4, shuffle=False, drop_last=False)
     for stale in ("pose_model", "pose_refine_model", "trainer_resume"):

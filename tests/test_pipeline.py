@@ -93,3 +93,60 @@ def test_checkpoint_roundtrip(tmp_path, models):
     assert len(leaves_a) == len(leaves_b)
     for a, b in zip(leaves_a, leaves_b):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.slow
+def test_serving_pose_path_matches_dataset_path(tmp_path_factory):
+    """The serving graph's mask->pose stage must be the SAME function as the
+    training-data path: identical window, pixel order, backprojection, crop
+    resampling, and normalization. Forced into the deterministic wrap-pad
+    regime (num_pt > masked pixels), both must produce identical PoseNet
+    inputs and hence identical poses — any drift is a silent train/serve
+    skew of exactly the kind that poisons deployment accuracy."""
+    from autoposeestimation_tpu.data import pose_dataset
+    from autoposeestimation_tpu.models import losses
+    from autoposeestimation_tpu.utils import io, synthetic
+
+    root = str(tmp_path_factory.mktemp("serveparity"))
+    synthetic.make_dataset(root, cfg=synthetic.SynthConfig(n_viewpoints=6))
+    import os
+    classes = io.read_lines(os.path.join(
+        io.dataset_dir(root, "pose_estimation", "synth"), "classes.txt"))
+    num_pt = 1024  # > masked pixel count -> wrap-pad (deterministic) path
+    ds = pose_dataset.PoseDataset(root, "synth", mode="test",
+                                  num_pt=num_pt, num_pt_mesh=64, crop=64)
+    stem = ds.items[0]
+    item = ds[0]
+    assert item is not None
+
+    mp = np.stack([np.asarray(io.read_xyz(os.path.join(
+        io.pc_dir(root), c, c + ".xyz"))[:50] / 1000.0, np.float32)
+        for c in classes])
+    models = predict.build_models(
+        num_classes_fg=len(classes), model_points=mp, classes=classes,
+        num_points=num_pt, crop=64, refine_iters=0, dtype=jnp.float32,
+        img_hw=(128, 160))
+
+    meta = io.read_sample_meta(os.path.join(io.data_dir(root),
+                                            stem + ".meta.json"))
+    image = io.read_color(os.path.join(io.data_dir(root),
+                                       stem + ".color.png"))
+    depth = io.read_depth(os.path.join(
+        io.data_dir(root), stem + ".depth.png")).astype(np.float32)
+    label = io.read_label(os.path.join(io.label_dir(root),
+                                       stem + ".new_pred.label.png"))
+    cls = classes[int(item["obj_idx"])]
+    out = predict.pose_from_mask(image, depth, meta, models, label == 255,
+                                 cls, refine_iters=0)
+
+    # dataset-path pose through the same weights
+    pr, pt, pc, _ = models.posenet.apply(
+        models.pose_vars, item["img"][None], item["cloud"][None],
+        item["choose"][None], np.asarray([int(item["obj_idx"])], np.int32))
+    quat, trans = losses.estimator_prediction(pr, pt, pc,
+                                              item["cloud"][None])
+    np.testing.assert_allclose(out["position"], np.asarray(trans)[0],
+                               atol=1e-5)
+    np.testing.assert_allclose(np.abs(np.dot(out["rotation"],
+                                             np.asarray(quat)[0])), 1.0,
+                               atol=1e-5)

@@ -218,3 +218,28 @@ def test_zoom_choose_maps_to_resampled_grid():
     stride = -(-winn // crop)
     assert np.abs(src_r - rows).max() <= stride
     assert np.abs(src_c - cols).max() <= stride
+
+
+def test_zoom_window_np_twin_parity():
+    """zoom_window_bbox_np (host/dataset path) must equal the jitted
+    zoom_window_bbox (serving path) for every mask — a one-pixel window
+    disagreement is a silent train/serve skew."""
+    rng = np.random.default_rng(11)
+    h, w = 128, 160
+    for trial in range(40):
+        mask = np.zeros((h, w), bool)
+        n_blobs = rng.integers(1, 3)
+        for _ in range(n_blobs):
+            r = rng.integers(0, h)
+            c = rng.integers(0, w)
+            rh = rng.integers(1, 90)
+            rw_ = rng.integers(1, 90)
+            mask[max(r - rh // 2, 0):r + rh // 2 + 1,
+                 max(c - rw_ // 2, 0):c + rw_ // 2 + 1] = True
+        for crop in (32, 64):
+            r0j, c0j, winj = P.zoom_window_bbox(
+                jnp.asarray(mask), crop, h, w)
+            r0n, c0n, winn = P.zoom_window_bbox_np(mask, crop, h, w)
+            assert (int(r0j), int(c0j), int(winj)) == (r0n, c0n, winn), (
+                trial, crop, (int(r0j), int(c0j), int(winj)),
+                (r0n, c0n, winn))
