@@ -37,7 +37,13 @@ class PoseDataset:
                  noise_trans: float = 0.03, label_mode: str = "new_pred",
                  p_extra_data: float = 0.0, p_viewpoints: float = 1.0,
                  num_pt_mesh: int = 1000, crop: int = 320, seed: int = 0,
-                 crop_and_zoom: bool = False, return_raw: bool = False):
+                 crop_and_zoom: bool = False, return_raw: bool = False,
+                 rot_degrees: float = 180.0):
+        # rot_degrees: in-plane rotation augmentation range (reference
+        # default +-180, dataset.py:204-221); small datasets may want a
+        # narrower range — full SO(2) equivariance from few base views is a
+        # disproportionately hard ask
+        self.rot_degrees = rot_degrees
         # return_raw: test-mode extras like the reference
         # (dataset.py:310-318) — full raw image + intrinsics vector for the
         # per-epoch prediction-panel dumps (train.py:256-317)
@@ -145,7 +151,7 @@ class PoseDataset:
             from . import augment as aug
 
             img = aug.color_jitter(img, rng=self.rng)
-            angle = self.rng.uniform(-180.0, 180.0)
+            angle = self.rng.uniform(-self.rot_degrees, self.rot_degrees)
             augment_rotation[:3, :3] = _rot_z(np.deg2rad(angle))
             img, label, depth = aug.rotate_joint(angle, img, label, depth)
 

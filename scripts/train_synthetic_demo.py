@@ -117,7 +117,8 @@ def main():
                                dtype=jnp.bfloat16)
     ptrain = pose_dataset.PoseDataset(root, "synth", mode="train",
                                       num_pt=200, num_pt_mesh=250, crop=64,
-                                      add_noise=True, noise_trans=0.01)
+                                      add_noise=True, noise_trans=0.01,
+                                      rot_degrees=45.0)
     ptest = pose_dataset.PoseDataset(root, "synth", mode="test", num_pt=200,
                                      num_pt_mesh=250, crop=64)
     pimg = pose_dataset.PoseDataset(root, "synth", mode="test", num_pt=200,
@@ -131,6 +132,23 @@ def main():
         image_every=10)
     tb = lambda: loader.Loader(ptrain, 4, seed=0)
     vb = lambda: loader.Loader(ptest, 4, shuffle=False, drop_last=False)
+
+    # scheduled lr decay: the margin-triggered decay (<0.016) never fires on
+    # a plateau above it, leaving the loss oscillating at lr=1e-4 forever —
+    # decay twice per phase on a fixed schedule instead
+    decay_at = {est_epochs // 2, (3 * est_epochs) // 4,
+                est_epochs + (args.pose_epochs - est_epochs) // 2,
+                est_epochs + (3 * (args.pose_epochs - est_epochs)) // 4}
+
+    def _decay_cb(st, epoch, test_mean):
+        if epoch in decay_at:
+            st.lr *= dcfg.lr_rate
+            if st.refine_start and st.refine_opt_state is not None:
+                st.refine_opt_state = dft.set_lr(st.refine_opt_state, st.lr)
+            else:
+                st.opt_state = dft.set_lr(st.opt_state, st.lr)
+
+    train_kw["epoch_callback"] = _decay_cb
     for stale in ("pose_model", "pose_refine_model", "trainer_resume"):
         for suffix in (".npz", ".npz.meta.json"):
             path = os.path.join(pose_dir, stale + suffix)
@@ -144,6 +162,8 @@ def main():
                                              best_est["variables"])
     state.best_test = float(best_est["meta"]["test_dis"])
     state.refine_start = True
+    state.lr = dcfg.lr  # fresh refiner starts at the base lr; the scheduled
+    # decays above re-anneal it within the refine phase
     state.refine_tx = dft.make_optimizer(state.lr)
     state.refine_opt_state = state.refine_tx.init(
         state.refine_vars["params"])
@@ -241,6 +261,23 @@ def main():
     found = bool(found_frames)
     err = float(np.mean(errs)) if errs else None
     attribution = {}
+
+    # A/B the confidence-weighted top-k candidate aggregation (beyond-
+    # reference option) on the same test split via pose_from_mask with the
+    # predicted masks — records whether topk>1 is worth enabling
+    if found:
+        topk_ab = {}
+        for k in (1, 4, 16):
+            mk = models._replace(agg_topk=k)
+            es = []
+            for f in found_frames:
+                p = predict.pose_from_mask(
+                    f["image"], f["depth"], f["meta"], mk,
+                    f["pred"]["mask"] > 0, "ball",
+                    refine_iters=dcfg.iteration if use_refine else 0)
+                es.append(float(np.linalg.norm(p["position"] - f["gt_cam"])))
+            topk_ab[f"topk_{k}"] = round(float(np.mean(es)), 5)
+        attribution["agg_topk_pos_err_mean_m"] = topk_ab
     if found:
         attribution["n_test_frames"] = len(frames)
         attribution["n_found"] = len(found_frames)
