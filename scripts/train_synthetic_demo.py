@@ -29,6 +29,9 @@ def main():
     parser.add_argument("--reuse-seg", action="store_true",
                         help="load the existing segmentation ckpt "
                              "instead of retraining")
+    parser.add_argument("--reuse-pose", action="store_true",
+                        help="load the existing pose/refine ckpts instead of "
+                             "retraining (fast serving-stage iteration)")
     parser.add_argument("--artifact", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "artifacts", "demo_results_round2.json"))
@@ -149,26 +152,36 @@ def main():
                 st.opt_state = dft.set_lr(st.opt_state, st.lr)
 
     train_kw["epoch_callback"] = _decay_cb
-    for stale in ("pose_model", "pose_refine_model", "trainer_resume"):
-        for suffix in (".npz", ".npz.meta.json"):
-            path = os.path.join(pose_dir, stale + suffix)
-            if os.path.exists(path):
-                os.remove(path)
-    state = dft.train(state, tb, vb, epochs=est_epochs + 1, **train_kw)
+    if args.reuse_pose and os.path.exists(
+            os.path.join(pose_dir, "pose_model.npz")):
+        best_est = checkpoints.load_checkpoint(
+            os.path.join(pose_dir, "pose_model.npz"), state.pose_vars)
+        state.pose_vars = jax.tree_util.tree_map(jnp.asarray,
+                                                 best_est["variables"])
+        state.best_test = float(best_est["meta"]["test_dis"])
+        state.refine_start = True
+    else:
+        for stale in ("pose_model", "pose_refine_model", "trainer_resume"):
+            for suffix in (".npz", ".npz.meta.json"):
+                path = os.path.join(pose_dir, stale + suffix)
+                if os.path.exists(path):
+                    os.remove(path)
+        state = dft.train(state, tb, vb, epochs=est_epochs + 1, **train_kw)
 
-    best_est = checkpoints.load_checkpoint(
-        os.path.join(pose_dir, "pose_model.npz"), state.pose_vars)
-    state.pose_vars = jax.tree_util.tree_map(jnp.asarray,
-                                             best_est["variables"])
-    state.best_test = float(best_est["meta"]["test_dis"])
-    state.refine_start = True
-    state.lr = dcfg.lr  # fresh refiner starts at the base lr; the scheduled
-    # decays above re-anneal it within the refine phase
-    state.refine_tx = dft.make_optimizer(state.lr)
-    state.refine_opt_state = state.refine_tx.init(
-        state.refine_vars["params"])
-    state.cfg.start_epoch = est_epochs + 1
-    state = dft.train(state, tb, vb, epochs=args.pose_epochs + 1, **train_kw)
+        best_est = checkpoints.load_checkpoint(
+            os.path.join(pose_dir, "pose_model.npz"), state.pose_vars)
+        state.pose_vars = jax.tree_util.tree_map(jnp.asarray,
+                                                 best_est["variables"])
+        state.best_test = float(best_est["meta"]["test_dis"])
+        state.refine_start = True
+        state.lr = dcfg.lr  # fresh refiner starts at the base lr; the
+        # scheduled decays above re-anneal it within the refine phase
+        state.refine_tx = dft.make_optimizer(state.lr)
+        state.refine_opt_state = state.refine_tx.init(
+            state.refine_vars["params"])
+        state.cfg.start_epoch = est_epochs + 1
+        state = dft.train(state, tb, vb, epochs=args.pose_epochs + 1,
+                          **train_kw)
     results["pose_training"] = {
         "best_test_add_m": round(state.best_test, 5),
         "estimator_best_add_m": round(float(best_est["meta"]["test_dis"]), 5),
@@ -278,6 +291,23 @@ def main():
                 es.append(float(np.linalg.norm(p["position"] - f["gt_cam"])))
             topk_ab[f"topk_{k}"] = round(float(np.mean(es)), 5)
         attribution["agg_topk_pos_err_mean_m"] = topk_ab
+
+        # quantify point-draw sampling noise: averaging the pose over 4
+        # independent point draws vs a single draw
+        es1, es4 = [], []
+        for f in found_frames:
+            ps = [predict.pose_from_mask(
+                f["image"], f["depth"], f["meta"], models,
+                f["pred"]["mask"] > 0, "ball", key=jax.random.PRNGKey(k),
+                refine_iters=dcfg.iteration if use_refine else 0)["position"]
+                for k in range(4)]
+            es1.append(float(np.linalg.norm(ps[0] - f["gt_cam"])))
+            es4.append(float(np.linalg.norm(
+                np.mean(ps, axis=0) - f["gt_cam"])))
+        attribution["single_draw_pos_err_mean_m"] = round(
+            float(np.mean(es1)), 5)
+        attribution["multi_draw4_pos_err_mean_m"] = round(
+            float(np.mean(es4)), 5)
     if found:
         attribution["n_test_frames"] = len(frames)
         attribution["n_found"] = len(found_frames)
