@@ -1,0 +1,141 @@
+"""Honest per-graph FLOP counts for MFU reporting.
+
+The axon TPU plugin's `compile().cost_analysis()["flops"]` inflates conv
+FLOPs ~4x (cross-checked against an analytic count of the U-Net encoder),
+so MFU numbers derived from it are meaningless. This module counts FLOPs of
+a named graph on the CPU backend — whose cost analysis matches analytic
+counts — in a subprocess (the TPU backend may already own this process),
+and caches the result keyed by the graph's config under
+`artifacts/flops_cache.json`.
+
+Usage: `cached_flops("serving_graph")` from bench scripts;
+`python -m autoposeestimation_tpu.utils.flops <name>` is the subprocess
+entry (forces the CPU platform before building anything).
+"""
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+_REPO = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+_CACHE = os.path.join(_REPO, "artifacts", "flops_cache.json")
+
+
+def _build_serving_graph():
+    """The bench.py headline graph: fused full_prediction, 640x480, 5 obj."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..pipeline import predict
+
+    cfg = dict(num_classes=5, num_points=1000, crop=320, h=480, w=640,
+               refine_iters=2)
+    rng = np.random.default_rng(0)
+    model_points = rng.normal(
+        size=(cfg["num_classes"], 1000, 3)).astype(np.float32) * 0.05
+    models = predict.build_models(
+        num_classes_fg=cfg["num_classes"], model_points=model_points,
+        classes=tuple(f"obj{i}" for i in range(cfg["num_classes"])),
+        num_points=cfg["num_points"], crop=cfg["crop"],
+        refine_iters=cfg["refine_iters"], dtype=jnp.bfloat16,
+        img_hw=(cfg["h"], cfg["w"]))
+    static = predict.static_tuple(models)
+    image = jnp.zeros((cfg["h"], cfg["w"], 3), jnp.uint8)
+    depth = jnp.full((cfg["h"], cfg["w"]), 700.0, jnp.float32)
+    intr = jnp.asarray([600.0, 600.0, 320.0, 240.0], jnp.float32)
+
+    def run(key):
+        return predict._full_prediction_jit(
+            models.seg_vars, models.pose_vars, models.refine_vars,
+            image, depth, intr, jnp.float32(0.001), key, static)
+
+    return run, (jax.random.PRNGKey(0),), cfg
+
+
+def _build_densefusion_train_step():
+    """bench_extra's estimator training step: bs 8, 1000 pts, sym loss."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..train import densefusion as dft
+
+    cfg = dict(batch=8, n=1000, m=1000, crop=320, num_obj=5)
+    dcfg = dft.DFConfig(num_points=cfg["n"], num_points_mesh=cfg["m"])
+    state = dft.create_trainer(cfg["num_obj"], dcfg, crop=cfg["crop"],
+                               dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    b, n, m, crop = cfg["batch"], cfg["n"], cfg["m"], cfg["crop"]
+    batch = {
+        "img": jnp.asarray(rng.normal(size=(b, crop, crop, 3)), jnp.float32),
+        "cloud": jnp.asarray(rng.normal(size=(b, n, 3)) * 0.05, jnp.float32),
+        "choose": jnp.asarray(rng.integers(0, crop * crop, (b, n)), jnp.int32),
+        "target": jnp.asarray(rng.normal(size=(b, m, 3)) * 0.05, jnp.float32),
+        "model_points": jnp.asarray(rng.normal(size=(b, m, 3)) * 0.05,
+                                    jnp.float32),
+        "obj_idx": jnp.asarray(rng.integers(0, cfg["num_obj"], b), jnp.int32),
+        "is_sym": jnp.asarray(rng.integers(0, 2, b), bool),
+        "dropout_rng": jax.random.PRNGKey(0),
+    }
+
+    def run(pose_vars, opt_state):
+        return dft.estimator_step(pose_vars, opt_state, batch,
+                                  jnp.float32(dcfg.w), state.posenet,
+                                  state.tx, with_sym=True)
+
+    return run, (state.pose_vars, state.opt_state), cfg
+
+
+_GRAPHS = {
+    "serving_graph": _build_serving_graph,
+    "densefusion_train_step": _build_densefusion_train_step,
+}
+
+
+def _count(name: str) -> float:
+    import jax
+
+    run, args, _ = _GRAPHS[name]()
+    ca = jax.jit(run).lower(*args).compile().cost_analysis()
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0] if ca else {}
+    return float(ca.get("flops", 0.0))
+
+
+def cached_flops(name: str, timeout: int = 1800):
+    """FLOPs of the named graph, from cache or a CPU-backend subprocess.
+    Returns None on failure (callers omit the MFU line)."""
+    try:
+        with open(_CACHE) as f:
+            cache = json.load(f)
+        if name in cache:
+            return float(cache[name])
+    except Exception:
+        cache = {}
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-m", "autoposeestimation_tpu.utils.flops",
+             name],
+            capture_output=True, text=True, timeout=timeout, cwd=_REPO)
+        if proc.returncode != 0:
+            return None
+        flops = float(proc.stdout.strip().splitlines()[-1])
+    except Exception:
+        return None
+    cache[name] = flops
+    os.makedirs(os.path.dirname(_CACHE), exist_ok=True)
+    with open(_CACHE, "w") as f:
+        json.dump(cache, f, indent=1)
+    return flops
+
+
+if __name__ == "__main__":
+    import jax
+
+    # the axon plugin ignores JAX_PLATFORMS; the explicit update is required
+    jax.config.update("jax_platforms", "cpu")
+    print(_count(sys.argv[1]))

@@ -48,16 +48,15 @@ def chip_peak_flops():
     return None
 
 
-def emit_mfu(metric, jitted_or_lowered, dt, *args):
-    """Compiler-counted FLOPs / measured step time / chip peak."""
+def emit_mfu(metric, flops_name, dt, scale=1.0):
+    """CPU-backend-counted FLOPs (utils/flops.py; the TPU plugin's cost
+    analysis inflates conv FLOPs ~4x) / measured step time / chip peak."""
     try:
-        ca = jax.jit(jitted_or_lowered).lower(*args).compile().cost_analysis()
-        if isinstance(ca, (list, tuple)):
-            ca = ca[0] if ca else {}
-        flops = float(ca.get("flops", 0.0))
+        from autoposeestimation_tpu.utils.flops import cached_flops
+        flops = cached_flops(flops_name)
         peak = chip_peak_flops()
-        if flops > 0 and peak:
-            emit(metric, flops / dt / peak * 100.0, "% of chip peak")
+        if flops and peak:
+            emit(metric, flops * scale / dt / peak * 100.0, "% of chip peak")
             return
     except Exception:
         pass
@@ -140,10 +139,7 @@ def main():
     emit("densefusion_train_step_seconds_bs8", dt, "sec/step")
     # reference: bs=1 forward+backward per sample, 8 samples per optimizer step
     emit("densefusion_train_samples_per_sec", b / dt, "samples/sec")
-    emit_mfu("densefusion_train_step_mfu_pct",
-             lambda v, o, bt: dft.estimator_step(
-                 v, o, bt, jnp.float32(cfg.w), state.posenet, state.tx, True),
-             dt, vars_, opt, batch)
+    emit_mfu("densefusion_train_step_mfu_pct", "densefusion_train_step", dt)
 
     # --- symmetric ADD-S moments op -------------------------------------
     n, m = 1000, 1000
@@ -194,8 +190,9 @@ def main():
 
     dt = timeit(batched, jax.random.PRNGKey(0), n=10)
     emit("full_prediction_batched8_fps_640x480", 8.0 / dt, "frames/sec", 30.0)
-    emit_mfu("full_prediction_batched8_mfu_pct", batched, dt,
-             jax.random.PRNGKey(0))
+    # batched x8 graph = 8 identical per-frame graphs under vmap
+    emit_mfu("full_prediction_batched8_mfu_pct", "serving_graph", dt,
+             scale=8.0)
 
     # --- classical label generation -------------------------------------
     bg_rgb = jnp.asarray(rng.integers(0, 255, (480, 640, 3)), jnp.float32)
