@@ -52,6 +52,10 @@ class PredictionModels(NamedTuple):
     # >1 = confidence-weighted top-k candidate averaging (beyond-reference
     # accuracy option; 1 = the reference's argmax pick)
     agg_topk: int = 1
+    # CCA pooling factor for the serving graph (ops/cca.py scale semantics);
+    # 4 cuts the dominant label-propagation cost ~16x and is exact for
+    # components separated by > 4 px
+    cca_scale: int = 4
 
 
 def static_tuple(models: "PredictionModels", refine_iters: Optional[int] = None):
@@ -61,7 +65,7 @@ def static_tuple(models: "PredictionModels", refine_iters: Optional[int] = None)
     iters = models.refine_iters if refine_iters is None else refine_iters
     return (models.seg_model, models.posenet, models.refiner,
             len(models.classes), models.num_points, models.crop, iters,
-            models.agg_topk)
+            models.agg_topk, models.cca_scale)
 
 
 def _segment(seg_model, seg_vars, image):
@@ -72,9 +76,14 @@ def _segment(seg_model, seg_vars, image):
     return probs, pred_arg
 
 
-def _class_mask(probs, pred_arg, cls_id, min_count: int = 100):
+def _class_mask(probs, pred_arg, cls_id, min_count: int = 100,
+                cca_scale: int = 1):
     """Largest-mean-probability connected component of one class
-    (pipeline/utils.py:444-467). cls_id is 1-based (0 = background)."""
+    (pipeline/utils.py:444-467). cls_id is 1-based (0 = background).
+
+    cca_scale > 1 labels components on a pooled mask (ops/cca.py) — the
+    label-propagation sweeps dominate the fused graph's latency at full
+    resolution; the found-gate count stays full-res."""
     cls_mask = pred_arg == cls_id
     count = jnp.sum(cls_mask.astype(jnp.int32))
     # the reference scores components by mean(class_id * prob); the class-id
@@ -83,7 +92,8 @@ def _class_mask(probs, pred_arg, cls_id, min_count: int = 100):
         probs, jnp.full(probs.shape[:2] + (1,), cls_id, jnp.int32),
         axis=-1)[..., 0], 0.0)
     comp, found = cca_ops.best_component_mask(cls_mask, score, min_size=0.0,
-                                              rule="mean_float")
+                                              rule="mean_float",
+                                              scale=cca_scale)
     return comp, found & (count > min_count)
 
 
@@ -96,12 +106,14 @@ def _full_prediction_jit(seg_vars, pose_vars, refine_vars,
     """models_static: (seg_model, posenet, refiner, num_classes_fg, num_points,
     crop, refine_iters) — hashable module refs + ints."""
     (seg_model, posenet, refiner, k_fg, num_points, crop,
-     refine_iters, agg_topk) = models_static
+     refine_iters, agg_topk, cca_scale) = models_static
 
     probs, pred_arg = _segment(seg_model, seg_vars, image)
 
     cls_ids = jnp.arange(1, k_fg + 1, dtype=jnp.int32)
-    masks, found = jax.vmap(lambda c: _class_mask(probs, pred_arg, c))(cls_ids)
+    masks, found = jax.vmap(
+        lambda c: _class_mask(probs, pred_arg, c,
+                              cca_scale=cca_scale))(cls_ids)
 
     keys = jax.random.split(key, k_fg)
 
@@ -160,7 +172,7 @@ def _full_prediction_batched_jit(seg_vars, pose_vars, refine_vars, images,
 def _pose_from_mask_jit(pose_vars, refine_vars, image, depth, mask, intr,
                         depth_scale, key, models_static, cls_idx: int):
     (_, posenet, refiner, _, num_points, crop, refine_iters,
-     agg_topk) = models_static
+     agg_topk, _cca_scale) = models_static
     h_img, w_img = depth.shape
     r0, c0, win = proj.zoom_window_bbox(mask, crop, h_img, w_img)
     cloud, choose, count = proj.backproject_choose_zoom(
@@ -205,7 +217,7 @@ def build_models(num_classes_fg: int, model_points: np.ndarray,
                  num_points: int = 1000, crop: int = 320,
                  refine_iters: int = 2, dtype=jnp.bfloat16,
                  seed: int = 0, img_hw=(480, 640),
-                 agg_topk: int = 1) -> PredictionModels:
+                 agg_topk: int = 1, cca_scale: int = 4) -> PredictionModels:
     """Construct (or wrap loaded) model variables into a PredictionModels."""
     seg_model = unet.UNet(classes=num_classes_fg + 1, dtype=dtype)
     posenet = densefusion.PoseNet(num_obj=num_classes_fg, dtype=dtype)
@@ -227,7 +239,7 @@ def build_models(num_classes_fg: int, model_points: np.ndarray,
     return PredictionModels(
         seg_model, seg_vars, posenet, pose_vars, refiner, refine_vars,
         tuple(classes), jnp.asarray(model_points, jnp.float32),
-        num_points, crop, refine_iters, agg_topk)
+        num_points, crop, refine_iters, agg_topk, cca_scale)
 
 
 def get_prediction_models(root: str, data_set_name: str,

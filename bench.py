@@ -70,20 +70,37 @@ def main():
             models.seg_vars, models.pose_vars, models.refine_vars,
             image_d, depth_d, intr, jnp.float32(0.001), k, static)
 
-    # warmup/compile
-    out = run(key)
-    jax.block_until_ready(out)
-
-    # median of 5 trials with recorded spread: the tunneled dev chip is
-    # time-shared and varies ~2x run-to-run (round-1 VERDICT weakness #6)
+    # Trustworthy timing through the tunnel (round-1 recorded 3-6x past the
+    # bf16 roofline with the naive dispatch loop + block_until_ready, and
+    # eager host-side chaining measures RPC latency instead): run the whole
+    # trial as ONE jitted lax.scan whose per-frame key depends on the
+    # previous frame's output — serialized real compute on device, a single
+    # dispatch, and a host readback of the poses that cannot lie.
     iters = 30
+
+    @jax.jit
+    def run_many(keys):
+        def step(carry, k):
+            out = run(k + carry)
+            c2 = jnp.broadcast_to(
+                (jnp.abs(out["positions"]).sum() * 0).astype(jnp.uint32),
+                (2,))
+            return c2, out["positions"]
+        _, ps = jax.lax.scan(
+            step, jnp.zeros((2,), jnp.uint32), keys)
+        return ps
+
+    all_keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
+        jnp.arange(iters, dtype=jnp.uint32))
+    _ = np.asarray(run_many(all_keys))  # warmup/compile + readback
+
     n_trials = 5
     trials = []
     for t in range(n_trials):
+        keys_t = jax.vmap(lambda i: jax.random.fold_in(key, i))(
+            jnp.arange(t * iters, (t + 1) * iters, dtype=jnp.uint32))
         t0 = time.perf_counter()
-        for i in range(iters):
-            out = run(jax.random.fold_in(key, t * iters + i))
-        jax.block_until_ready(out)
+        _ = np.asarray(run_many(keys_t))  # host readback: real bytes
         trials.append(iters / (time.perf_counter() - t0))
     fps = sorted(trials)[n_trials // 2]
 

@@ -22,13 +22,24 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def timeit(f, *args, n=20):
+def _fetch(out):
+    """Force a real host readback of one leaf — block_until_ready through
+    the axon tunnel has reported 3-6x past the bf16 roofline (see
+    docs/DESIGN.md), and transferred bytes cannot lie."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf)
+
+
+def timeit(f, *args, n=20, chain=None):
+    """Mean seconds/call. `chain(out, i) -> new_args` threads a data
+    dependence through consecutive calls so dispatches cannot overlap; every
+    timing ends with a host readback."""
     out = f(*args)
-    jax.block_until_ready(out)
+    _fetch(out)
     t0 = time.perf_counter()
-    for _ in range(n):
-        out = f(*args)
-    jax.block_until_ready(out)
+    for i in range(n):
+        out = f(*(chain(out, i) if chain else args))
+    _fetch(out)
     return (time.perf_counter() - t0) / n
 
 
@@ -102,7 +113,7 @@ def main():
     for _ in range(10):
         sv, so, sm = segtrain.train_step(sv, so, seg_batch, seg_model,
                                          seg_tx, 6)
-    jax.block_until_ready(sm["loss"])
+    _fetch(sm["loss"])
     dt = (time.perf_counter() - t0) / 10
     emit("unet_train_step_seconds_bs4_480", dt, "sec/step")
 
@@ -134,7 +145,7 @@ def main():
         vars_, opt, metrics = dft.estimator_step(
             vars_, opt, batch, jnp.float32(cfg.w), state.posenet, state.tx,
             True)
-    jax.block_until_ready(metrics["loss"])
+    _fetch(metrics["loss"])
     dt = (time.perf_counter() - t0) / n_steps
     emit("densefusion_train_step_seconds_bs8", dt, "sec/step")
     # reference: bs=1 forward+backward per sample, 8 samples per optimizer step
@@ -188,7 +199,11 @@ def main():
             models.seg_vars, models.pose_vars, models.refine_vars,
             images, depths, intr2, jnp.float32(0.001), k, static2)
 
-    dt = timeit(batched, jax.random.PRNGKey(0), n=10)
+    def chain_key(out, i):
+        carry = (jnp.abs(out["positions"]).sum() * 0).astype(jnp.uint32)
+        return (jax.random.fold_in(jax.random.PRNGKey(0), i) + carry,)
+
+    dt = timeit(batched, jax.random.PRNGKey(0), n=10, chain=chain_key)
     emit("full_prediction_batched8_fps_640x480", 8.0 / dt, "frames/sec", 30.0)
     # batched x8 graph = 8 identical per-frame graphs under vmap
     emit_mfu("full_prediction_batched8_mfu_pct", "serving_graph", dt,

@@ -114,3 +114,24 @@ def test_compact_labels():
     got = np.asarray(compact)
     assert got[~mask].max() == -1
     assert partitions_equal(got, want, mask)
+
+
+def test_best_component_scale_matches_fullres():
+    """scale=4 pooled CCA must select the same component as full-res CCA
+    whenever components are separated by more than the pooling cell."""
+    rng = np.random.default_rng(3)
+    for trial in range(10):
+        mask = np.zeros((96, 128), bool)
+        score = np.zeros((96, 128), np.float32)
+        # 3 well-separated rectangles with distinct scores
+        boxes = [(8, 8, 30, 40), (60, 20, 80, 50), (30, 80, 70, 120)]
+        for bi, (r0, c0, r1, c1) in enumerate(boxes):
+            mask[r0:r1, c0:c1] = True
+            score[r0:r1, c0:c1] = 0.3 + 0.2 * bi + rng.uniform(0, 0.05)
+        exact, f1 = cca.best_component_mask(
+            jnp.asarray(mask), jnp.asarray(score), rule="mean_float")
+        pooled, f2 = cca.best_component_mask(
+            jnp.asarray(mask), jnp.asarray(score), rule="mean_float",
+            scale=4)
+        assert bool(f1) and bool(f2)
+        np.testing.assert_array_equal(np.asarray(exact), np.asarray(pooled))
