@@ -200,25 +200,43 @@ def backproject_choose_zoom(depth, mask, intr, depth_scale, r0, c0, win,
                             crop: int, num_pt: int, key):
     """backproject_choose for the dynamic zoom window.
 
-    Pixels are chosen from the full-resolution mask inside the window; the
-    cloud is backprojected from exact native pixel coordinates (geometry is
-    never resampled), while the returned `choose` indices address the
-    (crop, crop) RESAMPLED grid for the color-embedding gather."""
+    Pixels are chosen on the (crop, crop) resample LATTICE of the window —
+    each lattice cell maps to one exact native pixel (the nearest-neighbor
+    index map ii/jj), so the cloud still backprojects exact native
+    coordinates and `choose` directly addresses the resampled crop grid for
+    the color-embedding gather. Working on the static crop^2 lattice instead
+    of the full H*W image cuts the per-class selection cost ~3x; when
+    win == crop (every object whose quantized bbox fits) the lattice IS the
+    full window, bit-identical to full-window selection. For oversized
+    objects (win > crop) candidates are the lattice subsample of the mask —
+    the same spatial stratification the resampled color crop sees.
+
+    The returned `count` keeps the full-resolution contract: the number of
+    valid native mask pixels inside the window (callers gate found-ness and
+    compare against the dataset path on it)."""
     h, w = depth.shape
+    # full-res valid count (contract; cheap fused elementwise + reduction)
     rows_i = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     cols_i = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     inside = ((rows_i >= r0) & (rows_i < r0 + win)
               & (cols_i >= c0) & (cols_i < c0 + win))
-    valid = mask & inside & (depth > 0)
-    choose_full, count = choose_masked_indices(valid, num_pt, key)
-    rows = choose_full // w
-    cols = choose_full % w
-    z = depth.reshape(-1)[choose_full].astype(jnp.float32) * depth_scale
+    count = jnp.sum((mask & inside & (depth > 0)).astype(jnp.int32))
+
+    # lattice: one native pixel per crop cell
+    ii = r0 + (jnp.arange(crop, dtype=jnp.int32) * win) // crop   # (crop,)
+    jj = c0 + (jnp.arange(crop, dtype=jnp.int32) * win) // crop
+    wmask = mask[ii[:, None], jj[None, :]]
+    wdepth = depth[ii[:, None], jj[None, :]].astype(jnp.float32)
+    valid = wmask & (wdepth > 0)
+    choose, lat_count = choose_masked_indices(valid, num_pt, key)
+
+    rows = ii[choose // crop]
+    cols = jj[choose % crop]
+    z = wdepth.reshape(-1)[choose] * depth_scale
     cloud = pixels_to_points(rows, cols, z, intr)
-    safe_win = jnp.maximum(win, 1)
-    cr = jnp.clip((rows - r0) * crop // safe_win, 0, crop - 1)
-    cc = jnp.clip((cols - c0) * crop // safe_win, 0, crop - 1)
-    choose = cr * crop + cc
+    # empty-lattice guard: count reflects full-res; an empty lattice with a
+    # nonempty window can only happen for degenerate sub-pixel masks
+    count = jnp.where(lat_count > 0, count, 0)
     return cloud, choose.astype(jnp.int32), count
 
 
@@ -232,37 +250,33 @@ def choose_masked_indices(window_mask, num_pt: int, key) -> Tuple[jnp.ndarray, j
     Returns (indices (num_pt,) int32, count ()=number of valid mask pixels).
     An empty mask yields count == 0 (indices all zero) — callers must gate.
 
-    Deliberate deviation (documented): the subsample is *stratified* — the
-    valid pixels are ranked in raster order and every (count/num_pt)-th rank
-    is taken, with a key-derived random rotation of the ranks. The
-    reference's uniform-without-replacement draw needed a full O(n log n)
-    sort per call (the dominant cost of the crop stage at 307k pixels on
-    TPU); stratified picks are two O(n) cumsums, remain unique/ascending/
-    valid, and guarantee spatial coverage of the object surface.
+    Implementation: a single k=num_pt top_k over a mode-dependent score —
+    uniform random for the subsample draw (uniform without replacement,
+    reference parity), and -index for the wrap case, where descending
+    score order IS the compacted raster-order valid list. One partial
+    selection replaces the full O(n log n) argsort the first version used
+    for compaction (the dominant cost of the crop stage at 307k pixels).
     """
     flat = window_mask.reshape(-1)
     n = flat.shape[0]
     count = jnp.sum(flat.astype(jnp.int32))
     safe_count = jnp.maximum(count, 1)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
 
-    # raster-order rank of every valid pixel: 0..count-1
-    rank = jnp.cumsum(flat.astype(jnp.int32)) - 1
-    # random rotation so different keys pick different stratified subsets
-    offset = jax.random.randint(key, (), 0, 1 << 30, dtype=jnp.int32)
-    rot = (rank + offset % safe_count) % safe_count
-    # systematic pick: ranks where floor(rot*num_pt/count) increments —
-    # exactly num_pt picks when count >= num_pt
-    num = jnp.int32(num_pt)
-    cur = (rot * num) // safe_count
-    prev = ((rot - 1) * num) // safe_count
-    pick = flat & ((cur != prev) | (rot == 0))
-    sel = jnp.nonzero(pick, size=num_pt, fill_value=0)[0].astype(jnp.int32)
+    u = jax.random.uniform(key, (n,))
+    score = jnp.where(flat,
+                      jnp.where(count > num_pt, u, -idx.astype(jnp.float32)),
+                      -jnp.inf)
+    _, sel = jax.lax.top_k(score, num_pt)
+    sel = sel.astype(jnp.int32)
 
-    # Wrap-pad path: first `count` valid indices in raster order, wrapped.
-    compact = jnp.nonzero(flat, size=num_pt, fill_value=0)[0].astype(jnp.int32)
-    wrap = compact[jnp.arange(num_pt, dtype=jnp.int32) % safe_count]
+    # subsample path: restore ascending raster order
+    sel_sorted = jnp.sort(sel)
+    # wrap path: sel is already the first `count` valid indices in raster
+    # order (descending -idx), padded with arbitrary -inf indices beyond
+    wrap = sel[jnp.arange(num_pt, dtype=jnp.int32) % safe_count]
 
-    indices = jnp.where(count > num_pt, sel, wrap)
+    indices = jnp.where(count > num_pt, sel_sorted, wrap)
     return indices.astype(jnp.int32), count
 
 
