@@ -120,6 +120,7 @@ def main():
     entry = {
         "metric": "full_prediction_fps_640x480_5obj",
         "value": round(fps, 2),
+        "method": "scan-serialized per-frame dependence + host readback",
         "unit": "frames/sec",
         "vs_baseline": round(fps / 30.0, 3),
         "spread": {"min": round(min(trials), 2), "max": round(max(trials), 2),
