@@ -155,9 +155,20 @@ def test_trained_serving_oversized_object(world, trained_seg, trained_pose):
         # stage instead of failing on seg generalization
         p = predict.pose_from_mask(image, depth.astype(np.float32), meta,
                                    models, red, "ball", refine_iters=0)
+    # the DETERMINISTIC truncation property: every valid masked pixel of the
+    # oversized object is visible to the choose stage (the round-1 fixed
+    # window saw only the 64-px crop's pixels). pose_from_mask's count is
+    # the full-res valid count inside the zoom window.
+    depth_valid = (depth > 0) & red
+    pf = predict.pose_from_mask(image, depth.astype(np.float32), meta,
+                                models, red, "ball", refine_iters=0)
+    assert pf["count"] == int(depth_valid.sum()), (
+        pf["count"], int(depth_valid.sum()))
+    # loose sanity bound only: the pose net is briefly trained and close-up
+    # frames are far outside the ring-view training distribution, so its
+    # absolute error flakes by a few cm run-to-run (observed 0.04-0.15);
+    # the strict geometric assertions live in
+    # test_projection.test_zoom_backproject_covers_oversized_mask
     gt_cam = (np.linalg.inv(robot2cam) @ np.append(OBJ_CENTER, 1.0))[:3] / 1000.0
     err = np.linalg.norm(p["position"] - gt_cam)
-    # close-range frames are far outside the ring-view training distribution;
-    # the bound proves the full object was sampled (the truncated round-1 path
-    # produced surface-offset clouds and ~radius-scale bias)
-    assert err < 0.12, (p["position"], gt_cam, err)
+    assert err < 0.25, (p["position"], gt_cam, err)
