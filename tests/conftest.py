@@ -24,3 +24,20 @@ jax.config.update("jax_platforms", "cpu")
 
 # Tests compare against f64-ish numpy goldens; keep matmuls at full f32.
 jax.config.update("jax_default_matmul_precision", "highest")
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Free compiled executables between test modules. One 200+-test pytest
+    process accumulates hundreds of compiled XLA programs; past the ~90 min
+    mark the CPU compiler has been observed to segfault under that pressure
+    (full-suite run at 92%), while the same tests pass in half-suite runs.
+    Recompiles of shared fixtures cost a little time per module and bound
+    the process state instead."""
+    yield
+    import jax as _jax
+
+    _jax.clear_caches()
