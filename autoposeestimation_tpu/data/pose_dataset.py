@@ -204,20 +204,32 @@ class PoseDataset:
 
         r0, c0, win = zoom_window_bbox_np(label_np == 255, crop, h, w)
 
-        win_mask = mask[r0:r0 + win, c0:c0 + win]
-        choose = win_mask.flatten().nonzero()[0]
+        # candidate pixels are the (crop, crop) resample LATTICE of the
+        # window — the EXACT pixel set the serving graph samples
+        # (ops/projection.backproject_choose_zoom); for win == crop (every
+        # object whose quantized bbox fits) the lattice IS the full window.
+        # Mirroring the lattice here removes the r2-advisor's train/serve
+        # skew for oversized objects.
+        ii = r0 + (np.arange(crop) * win) // crop
+        jj = c0 + (np.arange(crop) * win) // crop
+        lat_mask = mask[np.ix_(ii, jj)]
+        choose = lat_mask.flatten().nonzero()[0]
         if len(choose) == 0:
             return None
         if len(choose) > self.num_pt:
-            sel = np.zeros(len(choose), dtype=int)
-            sel[: self.num_pt] = 1
-            item_rng.shuffle(sel)
-            choose = choose[sel.nonzero()]
+            # stratified rank draw — the same rule as the serving graph's
+            # choose_masked_indices (one uniform pick per rank stratum)
+            cnt = len(choose)
+            j = np.arange(self.num_pt)
+            lo = (j * cnt) // self.num_pt
+            hi = ((j + 1) * cnt) // self.num_pt
+            ranks = lo + (item_rng.random(self.num_pt) * (hi - lo)).astype(int)
+            choose = choose[ranks]
         else:
             choose = np.pad(choose, (0, self.num_pt - len(choose)), "wrap")
 
-        drow = r0 + choose // win
-        dcol = c0 + choose % win
+        drow = ii[choose // crop]
+        dcol = jj[choose % crop]
         z = depth_np[drow, dcol] * image_meta["depth_scale"]
         x = (dcol - ppx) * z / fx
         y = (drow - ppy) * z / fy
@@ -242,15 +254,12 @@ class PoseDataset:
             target_t = target_t + add_t
 
         # nearest-resample the (win, win) color window onto the static crop
-        # grid (identity slice when win == crop) and remap choose to it
-        ii = r0 + (np.arange(crop) * win) // crop
-        jj = c0 + (np.arange(crop) * win) // crop
+        # grid (identity slice when win == crop); choose already addresses
+        # the crop grid (it indexes the lattice directly)
         img_crop = img_np[np.ix_(ii, jj)].astype(np.float32) / 255.0
         img_crop = (img_crop - np.asarray(IMAGENET_MEAN)) / np.asarray(
             IMAGENET_STD)
-        cr = np.clip((drow - r0) * crop // win, 0, crop - 1)
-        ccl = np.clip((dcol - c0) * crop // win, 0, crop - 1)
-        choose = (cr * crop + ccl).astype(np.int32)
+        choose = choose.astype(np.int32)
 
         out = {
             "img": img_crop.astype(np.float32),

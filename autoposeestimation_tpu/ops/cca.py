@@ -91,18 +91,24 @@ def connected_components(mask, connectivity: int = 8, max_iters: int = 64):
     return labels
 
 
-def component_stats(labels, mask, score):
+def component_stats(labels, mask, score, weights=None):
     """Per-root-label (count, score_sum) via segment reduction.
 
     Background pixels fall into segment H*W and are ignored by callers.
     Returns (counts (H*W+1,), sums (H*W+1,)) indexed by root flat index.
+    `weights` (same shape as mask) replaces the per-pixel count of 1 —
+    the pooled-CCA path passes per-cell pixel counts so pooled component
+    stats equal full-resolution ones; `score` is then the per-cell score
+    sum (already weight-accumulated) and is NOT re-scaled.
     """
     h, w = labels.shape
     n = h * w
     seg = jnp.where(mask, labels, n).reshape(-1)
-    ones = mask.reshape(-1).astype(jnp.float32)
+    valid = mask.reshape(-1).astype(jnp.float32)
+    ones = valid if weights is None else (
+        weights.reshape(-1).astype(jnp.float32) * valid)
     counts = jax.ops.segment_sum(ones, seg, num_segments=n + 1)
-    sums = jax.ops.segment_sum(score.reshape(-1).astype(jnp.float32) * ones,
+    sums = jax.ops.segment_sum(score.reshape(-1).astype(jnp.float32) * valid,
                                seg, num_segments=n + 1)
     return counts, sums
 
@@ -129,15 +135,18 @@ def best_component_mask(mask, score, min_size: float = 0.0, rule: str = "mean",
     need that exact fallback handle it on `found == False`).
 
     scale > 1 runs the component labeling on a `scale`-x max-pooled mask and
-    selects on pooled statistics, then intersects the upsampled winner with
-    the full-res mask. The label-propagation sweeps are the serving graph's
-    dominant cost (O(H*W) associative scans per sweep); pooling cuts them
-    scale^2-fold. Exactness: identical selection whenever distinct
-    components are separated by more than `scale` pixels (components closer
-    than that may merge); per-component mean/sum statistics are computed
-    over pooled cells, so ties can break differently on components whose
-    scores differ by less than the pooling quantization. min_size is
-    interpreted in full-res pixels and rescaled.
+    selects on count-weighted pooled statistics, then intersects the
+    upsampled winner with the full-res mask. The label-propagation sweeps
+    are the serving graph's dominant cost (O(H*W) associative scans per
+    sweep); pooling cuts them scale^2-fold. Per-component counts and score
+    sums are accumulated from per-cell pixel counts / score sums, so every
+    selection rule (mean, mean_float incl. the floor, area, sum) and the
+    min_size gate evaluate on EXACTLY the full-resolution statistics — the
+    only approximation left is connectivity: distinct components separated
+    by <= `scale` pixels (or sharing a pooled cell) merge into one
+    (quantified in tests/test_cca.py adjacency tests). Tie-breaks follow
+    pooled raster order of component roots, which matches full-res raster
+    order up to `scale` pixels.
     """
     if scale > 1:
         h, w = mask.shape
@@ -153,21 +162,24 @@ def best_component_mask(mask, score, min_size: float = 0.0, rule: str = "mean",
         cell_sum = jax.lax.reduce_window(
             s.astype(jnp.float32), 0.0, jax.lax.add, (scale, scale),
             (scale, scale), "VALID")
-        # pooled per-cell mean keeps the mean/sum rules consistent: for
-        # 'sum' use the cell sums directly, for means use sum/count cells
-        cell_score = jnp.where(small_mask, cell_sum / jnp.maximum(
-            cell_cnt, 1.0), 0.0)
-        if rule == "sum":
-            cell_score = cell_sum
-        comp_small, found = best_component_mask(
-            small_mask, cell_score, min_size / (scale * scale), rule,
-            connectivity, max_iters, scale=1)
+        labels = connected_components(small_mask, connectivity, max_iters)
+        # full-res-exact component stats: segment-sum the per-cell pixel
+        # counts and score sums (ADVICE r2: unweighted cell means could
+        # flip close selections vs the reference's pixel mean)
+        counts, sums = component_stats(labels, small_mask, cell_sum,
+                                       weights=cell_cnt)
+        comp_small, found = _select_component(labels, small_mask, counts,
+                                              sums, min_size, rule)
         comp = jnp.repeat(jnp.repeat(comp_small, scale, axis=0), scale,
                           axis=1)[:h, :w]
         return comp & mask, found
 
     labels = connected_components(mask, connectivity, max_iters)
     counts, sums = component_stats(labels, mask, score)
+    return _select_component(labels, mask, counts, sums, min_size, rule)
+
+
+def _select_component(labels, mask, counts, sums, min_size, rule: str):
     eligible = counts > min_size
 
     if rule == "mean":
