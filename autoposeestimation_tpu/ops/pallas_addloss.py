@@ -166,6 +166,145 @@ def _moments_fwd(rot, pred_t, model_points, target, interpret=False):
     return dis.reshape(-1)[:n], sq.reshape(-1)[:n]
 
 
+def _bwd_kernel(scal_ref, pred_t_ref, rot_ref, model_ref, target_ref,
+                out_ref):
+    """Backward companion of _moments_kernel: recomputes the (M, M) distance
+    tile in VMEM per candidate and reduces it straight to the 12 gradient
+    scalars (g_t (3,) and g_rot (3, 3) flattened) — no (N, M, M) tensor and
+    no sequential host-chunked map ever touches HBM.
+
+    scal (TC, 8): per-candidate (g_dis, g_std, dis, std) in cols 0..3.
+    pred_t (TC, 8), rot (TC*3, 8), model (M, 8), target (M, 8): the forward
+    kernel's layouts (model cols [x,y,z,1]; target cols [-2x,-2y,-2z,||t||^2]).
+    out (8, (TC/8)*12): candidate c's 12 scalars live at row c//8,
+    cols (c%8)*12 .. +12 (unpacked by the host wrapper).
+
+    Nearest-target matching uses a normalized min-indicator instead of an
+    argmin+gather (Mosaic has no gather/scatter): exact ties average their
+    cotangents — identical gradients for duplicated (wrap-padded) targets,
+    a measure-zero subgradient choice otherwise.
+    """
+    model_aug = model_ref[:, :4]    # (M, 4)
+    target_aug = target_ref[:, :4]  # (M, 4)
+    traw = target_aug[:, :3] * -0.5  # raw target xyz
+    m = model_aug.shape[0]
+    rows = out_ref.shape[0]
+    cols = out_ref.shape[1]
+    ncol = cols // 12
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
+    ones_col = jnp.ones((m, 1), jnp.float32)
+    inv_m = 1.0 / m
+    inv_m1 = 1.0 / max(m - 1, 1)
+
+    def one(c, acc):
+        rot = rot_ref[pl.ds(3 * c, 3), :3]       # (3, 3) = R^T rows
+        t = pred_t_ref[pl.ds(c, 1), :3]          # (1, 3)
+        sc = scal_ref[pl.ds(c, 1), :4]           # (1, 4)
+        gd = sc[:, 0:1]                          # (1, 1)
+        gs = sc[:, 1:2]
+        dis_c = sc[:, 2:3]
+        std_c = sc[:, 3:4]
+        rot_aug = jnp.concatenate([rot, t], axis=0)   # (4, 3)
+        pred = jnp.dot(model_aug, rot_aug,
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)  # (M, 3)
+        pp = jnp.sum(pred * pred, axis=1, keepdims=True)     # (M, 1)
+        pred_aug = jnp.concatenate([pred, ones_col], axis=1)  # (M, 4)
+        cross = jnp.dot(pred_aug, target_aug.T,
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)  # (M, M)
+        d2 = pp + cross
+        dmin2 = jnp.min(d2, axis=1, keepdims=True)            # (M, 1)
+        dmin = jnp.sqrt(jnp.maximum(dmin2, 1e-24))
+        ind = (d2 <= dmin2).astype(jnp.float32)               # (M, M)
+        row_norm = jnp.sum(ind, axis=1, keepdims=True)        # (M, 1)
+        # d dis/d pred_i = diff_i/(M*dmin_i); sample std (ddof=1):
+        # d std/d pred_i = (dmin_i - dis)/((M-1)*std) * diff_i/dmin_i
+        a = gd * inv_m + gs * (dmin - dis_c) * inv_m1 / jnp.maximum(
+            std_c, 1e-12)                                     # (M, 1)
+        coef = a / dmin                                       # (M, 1)
+        w = ind * (coef / row_norm)                           # (M, M)
+        g_pred = coef * pred - jnp.dot(
+            w, traw, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)              # (M, 3)
+
+        r = c // ncol
+        base = (c % ncol) * 12
+        here_row = row_ids == r
+        for k in range(3):
+            val = jnp.sum(g_pred[:, k:k + 1])
+            acc = jnp.where(here_row & (col_ids == base + k), val, acc)
+        for ai in range(3):
+            gcol = g_pred[:, ai:ai + 1]
+            for bj in range(3):
+                val = jnp.sum(gcol * model_aug[:, bj:bj + 1])
+                acc = jnp.where(
+                    here_row & (col_ids == base + 3 + 3 * ai + bj), val, acc)
+        return acc
+
+    out_ref[:, :] = jax.lax.fori_loop(
+        0, _TC, one, jnp.zeros((rows, cols), jnp.float32))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _moments_bwd_pallas(rot, pred_t, model_points, target, g_dis, g_std,
+                        dis, std, interpret=False):
+    """(g_t (N, 3), g_rot (N, 3, 3)) via the fused backward kernel."""
+    n = rot.shape[0]
+    rot_rows = _pad_cols(
+        rot.transpose(0, 2, 1).reshape(n * 3, 3).astype(jnp.float32), 8)
+    ptd = _pad_cols(pred_t.astype(jnp.float32), 8)
+    scal = _pad_cols(jnp.stack(
+        [g_dis, g_std, dis, std], axis=1).astype(jnp.float32), 8)
+    rot_rows = _pad_rows(rot_rows, 3 * _TC)
+    ptd = _pad_rows(ptd, _TC)
+    scal = _pad_rows(scal, _TC)
+    model8 = _pad_cols(jnp.concatenate(
+        [model_points.astype(jnp.float32),
+         jnp.ones((model_points.shape[0], 1), jnp.float32)], axis=1), 8)
+    tgt = target.astype(jnp.float32)
+    target8 = _pad_cols(jnp.concatenate(
+        [-2.0 * tgt, jnp.sum(tgt * tgt, axis=1, keepdims=True)], axis=1), 8)
+    num_prog = ptd.shape[0] // _TC
+    ncol = _TC // 8
+
+    grid_spec = pl.GridSpec(
+        grid=(num_prog,),
+        in_specs=[
+            pl.BlockSpec((_TC, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TC, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * _TC, 8), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((model8.shape[0], 8), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((target8.shape[0], 8), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((8, ncol * 12), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    m = model_points.shape[0]
+    (out,) = pl.pallas_call(
+        _bwd_kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((num_prog * 8, ncol * 12),
+                                        jnp.float32)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * m * (m * 4 + m * 3 + 12),
+            bytes_accessed=(rot_rows.size + ptd.size + scal.size
+                            + model8.size + target8.size + 12 * n) * 4,
+            transcendentals=n * m,
+        ),
+    )(scal, ptd, rot_rows, model8, target8)
+    # unpack: candidate c -> [prog, c//8 (row), c%8 (slot), 12]
+    out = out.reshape(num_prog, 8, ncol, 12).reshape(-1, 12)[:n]
+    return out[:, :3], out[:, 3:12].reshape(n, 3, 3)
+
+
 # Bound on the (chunk, M, M) distance-tile footprint of the chunked XLA
 # paths: chunk * M^2 <= 2^24 f32 elements (~64 MB). At reference defaults
 # (N=1000 candidates x batch 8, M=1000 mesh points) the un-chunked tensor
@@ -239,6 +378,15 @@ def _sym_moments_bwd(use_pallas, res, grads):
     g_dis, g_std = grads
     m = model_points.shape[0]
     n = quat.shape[0]
+
+    if use_pallas and _HAS_PALLAS and jax.default_backend() == "tpu":
+        rot = T.quat_to_mat(quat)
+        g_t, g_rot = _moments_bwd_pallas(rot, points + trans, model_points,
+                                         target, g_dis, g_std, dis, std)
+        # chain rule quat -> R outside the kernel (N x tiny, vectorized)
+        g_q = jax.vmap(lambda q, gr: jax.grad(
+            lambda qq: jnp.sum(T.quat_to_mat(qq) * gr))(q))(quat, g_rot)
+        return g_q, g_t, g_t, None, None
 
     def per_candidate(q, t, p, gd, gs, dis_c, std_c):
         rot = T.quat_to_mat(q)
