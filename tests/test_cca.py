@@ -135,3 +135,91 @@ def test_best_component_scale_matches_fullres():
             scale=4)
         assert bool(f1) and bool(f2)
         np.testing.assert_array_equal(np.asarray(exact), np.asarray(pooled))
+
+
+@pytest.mark.parametrize("scale", [1, 4, 8])
+def test_adjacent_components_separation_vs_scale(scale):
+    """Task: establish WHERE pooled CCA matches exact cv2-style component
+    selection as two same-class components approach each other
+    (/root/reference/pipeline/utils.py:444-467 semantics).
+
+    Guarantee proven here: separation >= 2*scale px keeps the components
+    distinct at pooling `scale` and selection matches scale=1 exactly for
+    every alignment phase. Below that, components MAY merge (worst-case
+    alignment merges at separation <= 2*scale - 1); at scale=1 selection is
+    always exact. This bound is what justifies the serving default
+    (pipeline/predict.py cca_scale): tabletop objects of the same class
+    closer than 2*scale px merge into one mask."""
+    for phase in range(scale):  # alignment of the gap vs the pooling grid
+        for sep in (2 * scale, 2 * scale + 3, 31):
+            mask = np.zeros((64, 160), bool)
+            score = np.zeros((64, 160), np.float32)
+            c_end = 40 + phase
+            mask[10:30, 8:c_end] = True          # component A (bigger)
+            score[10:30, 8:c_end] = 0.80
+            mask[10:30, c_end + sep:c_end + sep + 20] = True   # component B
+            score[10:30, c_end + sep:c_end + sep + 20] = 0.85  # higher mean
+            exact, f1 = cca.best_component_mask(
+                jnp.asarray(mask), jnp.asarray(score), rule="mean_float")
+            pooled, f2 = cca.best_component_mask(
+                jnp.asarray(mask), jnp.asarray(score), rule="mean_float",
+                scale=scale)
+            assert bool(f1) and bool(f2)
+            np.testing.assert_array_equal(np.asarray(exact),
+                                          np.asarray(pooled))
+
+
+@pytest.mark.parametrize("scale", [4, 8])
+def test_pooled_stats_are_fullres_exact(scale):
+    """r2-advisor medium: pooled cell means unweighted by pixel count could
+    flip close selections. The count-weighted pooled stats must now pick the
+    same winner as full-res whenever components don't merge — even when mean
+    scores differ by less than the pooling quantization and the components
+    have ragged, partially-filled border cells."""
+    rng = np.random.default_rng(9)
+    yy, xx = np.mgrid[0:96, 0:192]
+    for trial in range(8):
+        mask = np.zeros((96, 192), bool)
+        score = np.zeros((96, 192), np.float32)
+        # two connected ellipses, far apart, grid-misaligned (ragged cells),
+        # with nearly identical mean scores
+        for (rr, cc), base in (((25, 40), 0.800), ((62, 140), 0.802)):
+            ry = rng.uniform(5, 11)
+            rx = rng.uniform(5, 11)
+            cy = rr + rng.uniform(-1, 1)
+            cx = cc + rng.uniform(-1, 1)
+            blob = ((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2 <= 1.0
+            mask |= blob
+            score = np.where(
+                blob, base + rng.normal(0, 0.003, mask.shape).astype(
+                    np.float32), score)
+        for rule in ("mean_float", "mean", "area", "sum"):
+            exact, f1 = cca.best_component_mask(
+                jnp.asarray(mask), jnp.asarray(score), rule=rule)
+            pooled, f2 = cca.best_component_mask(
+                jnp.asarray(mask), jnp.asarray(score), rule=rule, scale=scale)
+            assert bool(f1) == bool(f2)
+            np.testing.assert_array_equal(np.asarray(exact),
+                                          np.asarray(pooled))
+
+
+def test_pooled_merge_below_bound_is_superset():
+    """Below the 2*scale separation bound components may merge — the failure
+    mode is a UNION mask (both objects), never a wrong-object selection with
+    a missing winner."""
+    mask = np.zeros((64, 128), bool)
+    score = np.zeros((64, 128), np.float32)
+    mask[10:30, 8:40] = True
+    score[10:30, 8:40] = 0.9
+    mask[10:30, 43:70] = True   # 3 px gap < 2*8
+    score[10:30, 43:70] = 0.5
+    exact, _ = cca.best_component_mask(jnp.asarray(mask), jnp.asarray(score),
+                                       rule="mean_float")
+    pooled, f = cca.best_component_mask(jnp.asarray(mask), jnp.asarray(score),
+                                        rule="mean_float", scale=8)
+    assert bool(f)
+    got = np.asarray(pooled)
+    # winner is included; any extra pixels are the merged neighbor (subset of
+    # the class mask), not background
+    assert (np.asarray(exact) & ~got).sum() == 0
+    assert (got & ~mask).sum() == 0
