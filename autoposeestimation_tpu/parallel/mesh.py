@@ -36,6 +36,40 @@ def make_mesh(n_devices: Optional[int] = None,
     return Mesh(grid, axes)
 
 
+def auto_mesh(mode: str = "auto", model_parallel: int = 1,
+              n_devices: Optional[int] = None) -> Optional[Mesh]:
+    """Trainer-facing data-parallel knob (SegConfig/DFConfig.data_parallel).
+
+    'auto' engages a ('data', 'model') mesh over all visible devices when
+    more than one is present — parity with the reference's automatic
+    nn.DataParallel wrap (/root/reference/segmentation/__init__.py:69-83);
+    'on' always builds the mesh; 'off' returns None (single-device steps).
+    """
+    if mode == "off":
+        return None
+    n = n_devices or len(jax.devices())
+    if n <= 1 and mode != "on":
+        return None
+    return make_mesh(n_devices=n, model_parallel=model_parallel)
+
+
+def shard_batch_data(mesh: Mesh, batch):
+    """device_put a batch pytree for the training loops: arrays whose leading
+    dim divides the 'data' axis shard over it, everything else (scalars, rng
+    keys, ragged final batches) replicates. Keeps one compiled variant per
+    sharding layout, correct for every batch."""
+    ndata = mesh.shape["data"]
+
+    def put(x):
+        shape = getattr(x, "shape", ())
+        if len(shape) >= 1 and shape[0] % ndata == 0 and shape[0] > 0:
+            return jax.device_put(x, NamedSharding(
+                mesh, P("data", *([None] * (len(shape) - 1)))))
+        return jax.device_put(x, NamedSharding(mesh, P()))
+
+    return jax.tree_util.tree_map(put, batch)
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

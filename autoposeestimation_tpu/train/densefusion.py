@@ -57,6 +57,10 @@ class DFConfig:
     num_points: int = 1000
     num_points_mesh: int = 1000
     with_sym: bool = True
+    # mesh data parallelism: 'auto' (engage when >1 device — parity with the
+    # reference's always-DataParallel PSPNet, DenseFusion/lib/network.py:33),
+    # 'on', 'off'
+    data_parallel: str = "auto"
 
 
 def make_optimizer(lr: float) -> optax.GradientTransformation:
@@ -263,6 +267,16 @@ def train(state: TrainerState, train_batches: Iterable, test_batches,
     os.makedirs(out_dir, exist_ok=True)
     log = JsonCurveLog(os.path.join(log_dir or out_dir, "losses.json"))
 
+    from ..parallel import mesh as mesh_lib
+    mesh = mesh_lib.auto_mesh(getattr(cfg, "data_parallel", "auto"))
+    if mesh is not None:
+        state.pose_vars = mesh_lib.replicate_params(mesh, state.pose_vars)
+        state.refine_vars = mesh_lib.replicate_params(mesh, state.refine_vars)
+        state.opt_state = mesh_lib.replicate_params(mesh, state.opt_state)
+        if state.refine_opt_state is not None:
+            state.refine_opt_state = mesh_lib.replicate_params(
+                mesh, state.refine_opt_state)
+
     for epoch in range(cfg.start_epoch, (epochs or cfg.nepoch)):
         t0 = time.time()
         # per-epoch derived stream so a resumed run replays the identical
@@ -273,6 +287,8 @@ def train(state: TrainerState, train_batches: Iterable, test_batches,
             rng, sub = jax.random.split(rng)
             batch = dict(batch)
             batch["dropout_rng"] = sub
+            if mesh is not None:
+                batch = mesh_lib.shard_batch_data(mesh, batch)
             if state.refine_start:
                 state.refine_vars, state.refine_opt_state, metrics = \
                     refiner_step(state.pose_vars, state.refine_vars,
@@ -290,6 +306,8 @@ def train(state: TrainerState, train_batches: Iterable, test_batches,
 
         test_dis, test_terr = [], []
         for batch in test_batches():
+            if mesh is not None:
+                batch = mesh_lib.shard_batch_data(mesh, batch)
             if "target_t" in batch:
                 dis, _, trans = eval_step_full(
                     state.pose_vars, state.refine_vars, batch, state.w,

@@ -46,6 +46,9 @@ class SegConfig:
     optimizer: str = "adam"         # 'adam' | 'sgd' (nesterov)
     momentum: float = 0.9
     use_imagenet_stats: bool = True
+    # mesh data parallelism: 'auto' (engage when >1 device — the reference's
+    # automatic nn.DataParallel parity), 'on', 'off'
+    data_parallel: str = "auto"
 
 
 def build_model(cfg: SegConfig, dtype=jnp.bfloat16):
@@ -194,6 +197,12 @@ def segmentation_training(train_loader: Callable[[], Iterable],
     variables.setdefault("batch_stats", {})
     opt_state = tx.init(variables["params"])
 
+    from ..parallel import mesh as mesh_lib
+    mesh = mesh_lib.auto_mesh(getattr(cfg, "data_parallel", "auto"))
+    if mesh is not None:
+        variables = mesh_lib.replicate_params(mesh, variables)
+        opt_state = mesh_lib.replicate_params(mesh, opt_state)
+
     os.makedirs(out_dir, exist_ok=True)
     log = JsonCurveLog(os.path.join(log_dir or out_dir, "logs.json"),
                        config=asdict(cfg))
@@ -205,6 +214,8 @@ def segmentation_training(train_loader: Callable[[], Iterable],
         train_losses = []
         conf = jnp.zeros((cfg.classes, cfg.classes), jnp.int32)
         for batch in train_loader():
+            if mesh is not None:
+                batch = mesh_lib.shard_batch_data(mesh, batch)
             variables, opt_state, m = train_step(
                 variables, opt_state, batch, model, tx, cfg.classes)
             train_losses.append(float(m["loss"]))
@@ -216,6 +227,8 @@ def segmentation_training(train_loader: Callable[[], Iterable],
         vconf_cca = jnp.zeros((cfg.classes, cfg.classes), jnp.int32)
         first_valid_batch = None
         for batch in valid_loader():
+            if mesh is not None:
+                batch = mesh_lib.shard_batch_data(mesh, batch)
             if first_valid_batch is None:
                 first_valid_batch = batch
             m = eval_step(variables, batch, model, cfg.classes,

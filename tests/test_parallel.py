@@ -131,3 +131,66 @@ def test_seg_train_step_dp():
         _, _, m8 = seg.train_step(pv, po, sb, model, tx, 3)
     np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]), rtol=2e-5)
     np.testing.assert_array_equal(np.asarray(m1["conf"]), np.asarray(m8["conf"]))
+
+@pytest.mark.slow
+def test_segmentation_training_entry_auto_dp(tmp_path):
+    """r2 VERDICT task 4: DP must engage through the PRODUCT entry
+    (segmentation_training + SegConfig.data_parallel), not hand-sharded
+    steps — and match the single-device run."""
+    from autoposeestimation_tpu.train import segmentation as seg
+
+    rng = np.random.default_rng(5)
+    batches = [
+        {"image": jnp.asarray(rng.normal(size=(8, 32, 32, 3)), jnp.float32),
+         "label": jnp.asarray(rng.integers(0, 3, (8, 32, 32)), jnp.int32)}
+        for _ in range(2)]
+
+    def run(mode, out):
+        # SGD: Adam's g/|g| normalization turns reassociation noise on
+        # near-zero grads into +-lr sign flips; SGD keeps the comparison at
+        # float-noise scale and still proves the wiring computes the same
+        # gradients
+        cfg = seg.SegConfig(classes=3, epochs=1, batch_size=8, lr=1e-3,
+                            optimizer="sgd", data_parallel=mode)
+        return seg.segmentation_training(
+            lambda: iter(batches), lambda: iter(batches[:1]), cfg,
+            out_dir=str(tmp_path / out), dtype=jnp.float32,
+            sample_shape=(32, 32))
+
+    off = run("off", "off")
+    on = run("on", "on")
+    # metrics pass through argmax pixels; GSPMD float reassociation can flip
+    # boundary pixels, so the tight check is the parameters themselves
+    assert float(off["best_iou"]) == pytest.approx(float(on["best_iou"]),
+                                                   abs=2e-2)
+    for a, b in zip(jax.tree_util.tree_leaves(off["variables"]["params"]),
+                    jax.tree_util.tree_leaves(on["variables"]["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+@pytest.mark.slow
+def test_densefusion_training_entry_auto_dp(tmp_path):
+    """Same through the DenseFusion trainer entry (dft.train +
+    DFConfig.data_parallel)."""
+    num_obj, n, m, crop = 2, 24, 24, 16
+    batches = [make_batch(8, n, m, crop, num_obj, seed=s) for s in (0, 1)]
+    for b in batches:
+        b.pop("dropout_rng")  # train() supplies the per-epoch stream
+
+    def run(mode, out):
+        cfg = dft.DFConfig(num_points=n, num_points_mesh=m, batch_size=8,
+                           data_parallel=mode, start_epoch=0)
+        state = dft.create_trainer(num_obj, cfg, crop=crop,
+                                   dtype=jnp.float32)
+        return dft.train(state, lambda: iter(batches),
+                         lambda: iter(batches[:1]),
+                         out_dir=str(tmp_path / out), epochs=1,
+                         save_resume=False)
+
+    off = run("off", "off")
+    on = run("on", "on")
+    assert float(off.best_test) == pytest.approx(float(on.best_test),
+                                                 rel=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(off.pose_vars["params"]),
+                    jax.tree_util.tree_leaves(on.pose_vars["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
