@@ -33,6 +33,35 @@ def gather_embeddings(emb_map, choose):
     return jnp.take_along_axis(flat, choose[..., None].astype(jnp.int32), axis=1)
 
 
+def gather_embeddings_bilinear(emb_map, choose, crop: int):
+    """Bilinear sample of a stride-s embedding map at full-res choose pixels.
+
+    emb_map (B, S/s, S/s, E); choose (B, N) flat indices into the (crop,
+    crop) full-res window. Pixel-center mapping (align_corners=False):
+    coarse coordinate = (full + 0.5) / s - 0.5, clamped to the map."""
+    b, hc, wc, e = emb_map.shape
+    s = crop // hc
+    rows = (choose // crop).astype(jnp.float32)
+    cols = (choose % crop).astype(jnp.float32)
+    fr = jnp.clip((rows + 0.5) / s - 0.5, 0.0, hc - 1.0)
+    fc = jnp.clip((cols + 0.5) / s - 0.5, 0.0, wc - 1.0)
+    r0 = jnp.floor(fr).astype(jnp.int32)
+    c0 = jnp.floor(fc).astype(jnp.int32)
+    r1 = jnp.minimum(r0 + 1, hc - 1)
+    c1 = jnp.minimum(c0 + 1, wc - 1)
+    wr = (fr - r0.astype(jnp.float32))[..., None]
+    wc_ = (fc - c0.astype(jnp.float32))[..., None]
+    flat = emb_map.reshape(b, hc * wc, e)
+
+    def take(r, c):
+        return jnp.take_along_axis(
+            flat, (r * wc + c)[..., None].astype(jnp.int32), axis=1)
+
+    top = take(r0, c0) * (1 - wc_) + take(r0, c1) * wc_
+    bot = take(r1, c0) * (1 - wc_) + take(r1, c1) * wc_
+    return top * (1 - wr) + bot * wr
+
+
 class PoseNetFeat(nn.Module):
     """Pointwise dense-fusion feature pyramid (network.py:39-68)."""
 
@@ -84,11 +113,19 @@ class PoseNet(nn.Module):
 
     num_obj: int
     dtype: Dtype = jnp.bfloat16
+    # output stride of the PSPNet embedding decoder (1 = reference-exact;
+    # 8 cuts the decoder convs ~7x with bilinear gather — see pspnet.PSPNet)
+    emb_stride: int = 1
 
     @nn.compact
     def __call__(self, img, cloud, choose, obj_idx, train: bool = False):
-        emb_map = PSPNet(dtype=self.dtype)(img, train=train)
-        emb = gather_embeddings(emb_map, choose)  # (B, N, 32)
+        emb_map = PSPNet(dtype=self.dtype, emb_stride=self.emb_stride)(
+            img, train=train)
+        if self.emb_stride > 1:
+            emb = gather_embeddings_bilinear(emb_map, choose,
+                                             img.shape[-2])  # (B, N, 32)
+        else:
+            emb = gather_embeddings(emb_map, choose)  # (B, N, 32)
         feat = PoseNetFeat(dtype=self.dtype)(cloud, emb)
         pred_r = PoseHead(4, self.num_obj, self.dtype)(feat, obj_idx)
         pred_t = PoseHead(3, self.num_obj, self.dtype)(feat, obj_idx)

@@ -50,7 +50,8 @@ def _candidate_preds(pred_r, pred_t, points, model_points):
 
 
 def _pose_loss_single(pred_r, pred_t, pred_c, target, model_points, points,
-                      w, is_sym, refine: bool, with_sym: bool):
+                      w, is_sym, refine: bool, with_sym: bool,
+                      sym_bf16: bool = False):
     """One sample. pred_r (N,4), pred_t (N,3), pred_c (N,), target (M,3),
     model_points (M,3), points (N,3)."""
     pred = _candidate_preds(pred_r, pred_t, points, model_points)  # (N, M, 3)
@@ -64,7 +65,8 @@ def _pose_loss_single(pred_r, pred_t, pred_c, target, model_points, points,
         from ..ops import pallas_addloss
 
         dis_s, std_s = pallas_addloss.sym_moments(
-            pred_r, pred_t, points, model_points, target)
+            pred_r, pred_t, points, model_points, target,
+            "bf16" if sym_bf16 else True)
         dis = jnp.where(is_sym, dis_s, dis)
         std = jnp.where(is_sym, std_s, std)
     loss = jnp.mean((dis + 2.0 * std) * pred_c - w * jnp.log(
@@ -84,10 +86,11 @@ def _pose_loss_single(pred_r, pred_t, pred_c, target, model_points, points,
             jax.lax.stop_gradient(new_target), best_r, best_t)
 
 
-@functools.partial(jax.jit, static_argnames=("refine", "with_sym"))
+@functools.partial(jax.jit, static_argnames=("refine", "with_sym",
+                                             "sym_bf16"))
 def pose_loss(pred_r, pred_t, pred_c, target, model_points, points,
               is_sym, w: float = 0.015, refine: bool = False,
-              with_sym: bool = True) -> PoseLossOut:
+              with_sym: bool = True, sym_bf16: bool = False) -> PoseLossOut:
     """Batched DenseFusion estimator loss (lib/loss.py parity).
 
     Shapes: pred_r (B,N,4), pred_t (B,N,3), pred_c (B,N,1) or (B,N),
@@ -98,7 +101,7 @@ def pose_loss(pred_r, pred_t, pred_c, target, model_points, points,
     if pred_c.ndim == 3:
         pred_c = pred_c[..., 0]
     f = jax.vmap(functools.partial(_pose_loss_single, refine=refine,
-                                   with_sym=with_sym),
+                                   with_sym=with_sym, sym_bf16=sym_bf16),
                  in_axes=(0, 0, 0, 0, 0, 0, None, 0))
     loss, dis, new_points, new_target, best_r, best_t = f(
         pred_r, pred_t, pred_c, target, model_points, points,

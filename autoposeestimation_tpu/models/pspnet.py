@@ -48,11 +48,13 @@ class PSPModule(nn.Module):
 class PSPUpsample(nn.Module):
     features: int
     dtype: Dtype = jnp.bfloat16
+    do_resize: bool = True
 
     @nn.compact
     def __call__(self, x):
         h, w = x.shape[-3], x.shape[-2]
-        x = resize_bilinear(x, (2 * h, 2 * w), align_corners=True)
+        if self.do_resize:
+            x = resize_bilinear(x, (2 * h, 2 * w), align_corners=True)
         x = nn.Conv(self.features, (3, 3), padding=1, dtype=self.dtype)(
             x.astype(self.dtype))
         # PReLU with a single shared slope (torch nn.PReLU() default)
@@ -60,21 +62,36 @@ class PSPUpsample(nn.Module):
 
 
 class PSPNet(nn.Module):
-    """Returns per-pixel 32-d log-softmax embeddings (B, H, W, 32)."""
+    """Returns per-pixel 32-d log-softmax embeddings
+    (B, H/emb_stride, W/emb_stride, 32).
+
+    emb_stride in {1, 2, 4, 8}: output stride of the embedding map. The
+    decoder convs run at reduced resolution (the parameter tree — and
+    therefore any trained or torch-imported weights — is IDENTICAL for
+    every stride; only the per-stage 2x resizes are skipped). At stride 8
+    the three upsample convs shrink from 80^2/160^2/320^2 to 40^2 lattices,
+    cutting the serving graph's largest FLOP block ~2x; consumers
+    bilinearly interpolate the ~1000 chosen pixels (densefusion.
+    gather_embeddings_bilinear). Opt-in via PredictionModels/build_models —
+    the accuracy gate vs the full-res path lives in the demo
+    (scripts/train_synthetic_demo.py emb_stride A/B)."""
 
     embed_dim: int = 32
     dtype: Dtype = jnp.bfloat16
+    emb_stride: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        assert self.emb_stride in (1, 2, 4, 8)
+        n_resize = {1: 3, 2: 2, 4: 1, 8: 0}[self.emb_stride]
         f = DilatedResNetNoBN(dtype=self.dtype)(x.astype(self.dtype))
         p = PSPModule(1024, dtype=self.dtype)(f)
         p = nn.Dropout(0.3, deterministic=not train)(p)
-        p = PSPUpsample(256, dtype=self.dtype)(p)
+        p = PSPUpsample(256, dtype=self.dtype, do_resize=n_resize > 0)(p)
         p = nn.Dropout(0.15, deterministic=not train)(p)
-        p = PSPUpsample(64, dtype=self.dtype)(p)
+        p = PSPUpsample(64, dtype=self.dtype, do_resize=n_resize > 1)(p)
         p = nn.Dropout(0.15, deterministic=not train)(p)
-        p = PSPUpsample(64, dtype=self.dtype)(p)
+        p = PSPUpsample(64, dtype=self.dtype, do_resize=n_resize > 2)(p)
         logits = nn.Conv(self.embed_dim, (1, 1), dtype=jnp.float32)(
             p.astype(jnp.float32))
         return nn.log_softmax(logits, axis=-1)

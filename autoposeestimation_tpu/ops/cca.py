@@ -39,8 +39,10 @@ def _segmented_cummin(values, boundary, axis: int, reverse: bool):
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("connectivity", "max_iters"))
-def connected_components(mask, connectivity: int = 8, max_iters: int = 64):
+@functools.partial(jax.jit, static_argnames=("connectivity", "max_iters",
+                                             "fixed_sweeps"))
+def connected_components(mask, connectivity: int = 8, max_iters: int = 64,
+                         fixed_sweeps: int = 0):
     """Label connected components of a boolean mask.
 
     Returns int32 labels (H, W): masked pixels carry the min flat index of
@@ -76,6 +78,18 @@ def connected_components(mask, connectivity: int = 8, max_iters: int = 64):
         lbl = jnp.where(mask, _segmented_cummin(lbl, boundary, 1, True), big)
         lbl = jnp.where(mask, _segmented_cummin(lbl, boundary, 0, False), big)
         lbl = jnp.where(mask, _segmented_cummin(lbl, boundary, 0, True), big)
+        return lbl
+
+    if fixed_sweeps:
+        # unrolled fixed sweep count — no convergence reduction / loop sync
+        # per iteration. One sweep resolves any straight run; `fixed_sweeps`
+        # bounds the number of TURNS in the component geometry it can
+        # follow. Exact for convex-ish blobs at 2; serving uses 3 on the
+        # pooled grid (tabletop object components), full-generality callers
+        # keep the while_loop (fixed_sweeps=0).
+        lbl = init
+        for _ in range(fixed_sweeps):
+            lbl = sweep(lbl)
         return lbl
 
     def cond(state):
@@ -114,10 +128,11 @@ def component_stats(labels, mask, score, weights=None):
 
 
 @functools.partial(jax.jit, static_argnames=("rule", "connectivity",
-                                             "max_iters", "scale"))
+                                             "max_iters", "scale",
+                                             "fixed_sweeps"))
 def best_component_mask(mask, score, min_size: float = 0.0, rule: str = "mean",
                         connectivity: int = 8, max_iters: int = 64,
-                        scale: int = 1):
+                        scale: int = 1, fixed_sweeps: int = 0):
     """Select the best connected component of `mask` by `rule` over `score`.
 
     Rules (all from the reference):
@@ -162,7 +177,8 @@ def best_component_mask(mask, score, min_size: float = 0.0, rule: str = "mean",
         cell_sum = jax.lax.reduce_window(
             s.astype(jnp.float32), 0.0, jax.lax.add, (scale, scale),
             (scale, scale), "VALID")
-        labels = connected_components(small_mask, connectivity, max_iters)
+        labels = connected_components(small_mask, connectivity, max_iters,
+                                      fixed_sweeps)
         # full-res-exact component stats: segment-sum the per-cell pixel
         # counts and score sums (ADVICE r2: unweighted cell means could
         # flip close selections vs the reference's pixel mean)
@@ -174,7 +190,8 @@ def best_component_mask(mask, score, min_size: float = 0.0, rule: str = "mean",
                           axis=1)[:h, :w]
         return comp & mask, found
 
-    labels = connected_components(mask, connectivity, max_iters)
+    labels = connected_components(mask, connectivity, max_iters,
+                                  fixed_sweeps)
     counts, sums = component_stats(labels, mask, score)
     return _select_component(labels, mask, counts, sums, min_size, rule)
 

@@ -48,7 +48,7 @@ _TC = 64  # candidates per grid program
 
 
 def _moments_kernel(pred_t_ref, rot_ref, model_ref, target_ref,
-                    dis_ref, sq_ref):
+                    dis_ref, sq_ref, *, cross_dtype=jnp.float32):
     """pred_t (TC, 8): candidate translations (points + t, xyz padded)
     rot (TC*3, 8): 3 rotation-matrix rows per candidate (xyz in cols 0..2)
     model (M, 8), target (M, 8): xyz padded
@@ -59,11 +59,15 @@ def _moments_kernel(pred_t_ref, rot_ref, model_ref, target_ref,
     from ref dynamic slices.
     """
     # model_ref cols: [x, y, z, 1, 0...]; target_ref cols: [-2x, -2y, -2z,
-    # ||t||^2, 0...] — the homogeneous column folds the translation into the
-    # first matmul and the ||t||^2 row into the second, keeping every
-    # intermediate >= 2D (Mosaic rejects 1xM replicated-layout vectors).
+    # ||t||^2, 1, 0...] — homogeneous columns fold the translation into the
+    # first matmul and BOTH the ||t||^2 and ||pred||^2 terms into the
+    # second (K=5), so d2 comes straight off the MXU with no extra (M, M)
+    # VPU add pass. Intermediates stay >= 2D (Mosaic rejects 1xM
+    # replicated-layout vectors). cross_dtype=bfloat16 runs the (M, M)
+    # distance matmul in bf16 with f32 accumulation (~0.4% relative dmin
+    # noise) — opt-in speed mode.
     model_aug = model_ref[:, :4]   # (M, 4)
-    target_aug = target_ref[:, :4]  # (M, 4)
+    target_aug = target_ref[:, :5]  # (M, 5)
     m = model_aug.shape[0]
     rows = dis_ref.shape[0]
     cols = dis_ref.shape[1]
@@ -80,11 +84,13 @@ def _moments_kernel(pred_t_ref, rot_ref, model_ref, target_ref,
                        preferred_element_type=jnp.float32,
                        precision=jax.lax.Precision.HIGHEST)  # (M, 3)
         pp = jnp.sum(pred * pred, axis=1, keepdims=True)  # (M, 1)
-        pred_aug = jnp.concatenate([pred, ones_col], axis=1)  # (M, 4)
-        cross = jnp.dot(pred_aug, target_aug.T,
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)  # (M, M) MXU
-        d2 = pp + cross
+        pred_aug = jnp.concatenate([pred, ones_col, pp], axis=1)  # (M, 5)
+        d2 = jnp.dot(pred_aug.astype(cross_dtype),
+                     target_aug.T.astype(cross_dtype),
+                     preferred_element_type=jnp.float32,
+                     precision=(jax.lax.Precision.DEFAULT
+                                if cross_dtype == jnp.bfloat16
+                                else jax.lax.Precision.HIGHEST))  # (M,M) MXU
         dmin2 = jnp.maximum(jnp.min(d2, axis=1, keepdims=True), 0.0)  # (M, 1)
         dmin = jnp.sqrt(dmin2)
         here = (row_ids == c // cols) & (col_ids == c % cols)
@@ -108,8 +114,9 @@ def _pad_cols(x, width):
     return jnp.pad(x, ((0, 0), (0, width - x.shape[1])))
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _moments_fwd(rot, pred_t, model_points, target, interpret=False):
+@functools.partial(jax.jit, static_argnames=("interpret", "cross_dtype"))
+def _moments_fwd(rot, pred_t, model_points, target, interpret=False,
+                 cross_dtype=jnp.float32):
     """rot (N, 3, 3), pred_t (N, 3) -> (dis (N,), mean_sq (N,))."""
     n = rot.shape[0]
     # 3 rows of R^T per candidate, stacked: rows [3c, 3c+3) = R_c^T, so the
@@ -126,7 +133,8 @@ def _moments_fwd(rot, pred_t, model_points, target, interpret=False):
          jnp.ones((model_points.shape[0], 1), jnp.float32)], axis=1), 8)
     tgt = target.astype(jnp.float32)
     target8 = _pad_cols(jnp.concatenate(
-        [-2.0 * tgt, jnp.sum(tgt * tgt, axis=1, keepdims=True)], axis=1), 8)
+        [-2.0 * tgt, jnp.sum(tgt * tgt, axis=1, keepdims=True),
+         jnp.ones((tgt.shape[0], 1), jnp.float32)], axis=1), 8)
     num_prog = ptd.shape[0] // _TC
 
     grid_spec = pl.GridSpec(
@@ -149,7 +157,7 @@ def _moments_fwd(rot, pred_t, model_points, target, interpret=False):
     )
     m = model_points.shape[0]
     dis, sq = pl.pallas_call(
-        _moments_kernel,
+        functools.partial(_moments_kernel, cross_dtype=cross_dtype),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((num_prog * 8, _TC // 8), jnp.float32),
@@ -166,113 +174,130 @@ def _moments_fwd(rot, pred_t, model_points, target, interpret=False):
     return dis.reshape(-1)[:n], sq.reshape(-1)[:n]
 
 
-def _bwd_kernel(scal_ref, pred_t_ref, rot_ref, model_ref, target_ref,
-                out_ref):
-    """Backward companion of _moments_kernel: recomputes the (M, M) distance
-    tile in VMEM per candidate and reduces it straight to the 12 gradient
-    scalars (g_t (3,) and g_rot (3, 3) flattened) — no (N, M, M) tensor and
-    no sequential host-chunked map ever touches HBM.
+def _train_kernel(pred_t_ref, rot_ref, model_ref, target_ref, out_ref, *,
+                  cross_dtype=jnp.float32):
+    """Training forward: per-candidate moments PLUS gradient precursors, one
+    pass over the (M, M) distance tile in VMEM.
 
-    scal (TC, 8): per-candidate (g_dis, g_std, dis, std) in cols 0..3.
-    pred_t (TC, 8), rot (TC*3, 8), model (M, 8), target (M, 8): the forward
-    kernel's layouts (model cols [x,y,z,1]; target cols [-2x,-2y,-2z,||t||^2]).
-    out (8, (TC/8)*12): candidate c's 12 scalars live at row c//8,
-    cols (c%8)*12 .. +12 (unpacked by the host wrapper).
+    The cotangent enters the pose gradient linearly: with u_i the unit
+    vector from the matched target to pred_i,
 
-    Nearest-target matching uses a normalized min-indicator instead of an
-    argmin+gather (Mosaic has no gather/scatter): exact ties average their
-    cotangents — identical gradients for duplicated (wrap-padded) targets,
-    a measure-zero subgradient choice otherwise.
+      g_t   = g_dis * A_t + g_std * B_t,      A_t = sum_i u_i / M
+      g_rot = g_dis * A_r + g_std * B_r,      A_r = u^T model / M
+      B_*   = same with u_i weighted by (dmin_i - dis) / ((M-1) * std)
+
+    so the kernel emits (dis, sq, A_t(3), B_t(3), A_r(9), B_r(9)) per
+    candidate and the backward pass is a 26-scalar linear combination in
+    plain XLA — no second (M, M) kernel. Nearest-target matching uses a
+    normalized min-indicator (Mosaic has no gather): exact ties average
+    their cotangents, gradient-identical for duplicated wrap-padded targets.
+
+    out (TC, 32): cols 0..2 A_t, 3..5 B_t, 6..14 A_r, 15..23 B_r,
+    24 dis, 25 sq.
     """
     model_aug = model_ref[:, :4]    # (M, 4)
-    target_aug = target_ref[:, :4]  # (M, 4)
-    traw = target_aug[:, :3] * -0.5  # raw target xyz
+    target_aug = target_ref[:, :5]  # (M, 5): [-2t, ||t||^2, 1]
+    traw = target_aug[:, :3] * -0.5
     m = model_aug.shape[0]
+    traw4 = jnp.concatenate(
+        [traw, jnp.ones((m, 1), jnp.float32)], axis=1).astype(cross_dtype)
     rows = out_ref.shape[0]
     cols = out_ref.shape[1]
-    ncol = cols // 12
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
     ones_col = jnp.ones((m, 1), jnp.float32)
     inv_m = 1.0 / m
+    bessel = m / max(m - 1, 1)
     inv_m1 = 1.0 / max(m - 1, 1)
 
     def one(c, acc):
-        rot = rot_ref[pl.ds(3 * c, 3), :3]       # (3, 3) = R^T rows
-        t = pred_t_ref[pl.ds(c, 1), :3]          # (1, 3)
-        sc = scal_ref[pl.ds(c, 1), :4]           # (1, 4)
-        gd = sc[:, 0:1]                          # (1, 1)
-        gs = sc[:, 1:2]
-        dis_c = sc[:, 2:3]
-        std_c = sc[:, 3:4]
+        rot = rot_ref[pl.ds(3 * c, 3), :3]
+        t = pred_t_ref[pl.ds(c, 1), :3]
         rot_aug = jnp.concatenate([rot, t], axis=0)   # (4, 3)
         pred = jnp.dot(model_aug, rot_aug,
                        preferred_element_type=jnp.float32,
                        precision=jax.lax.Precision.HIGHEST)  # (M, 3)
-        pp = jnp.sum(pred * pred, axis=1, keepdims=True)     # (M, 1)
-        pred_aug = jnp.concatenate([pred, ones_col], axis=1)  # (M, 4)
-        cross = jnp.dot(pred_aug, target_aug.T,
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)  # (M, M)
-        d2 = pp + cross
-        dmin2 = jnp.min(d2, axis=1, keepdims=True)            # (M, 1)
-        dmin = jnp.sqrt(jnp.maximum(dmin2, 1e-24))
-        ind = (d2 <= dmin2).astype(jnp.float32)               # (M, M)
-        row_norm = jnp.sum(ind, axis=1, keepdims=True)        # (M, 1)
-        # d dis/d pred_i = diff_i/(M*dmin_i); sample std (ddof=1):
-        # d std/d pred_i = (dmin_i - dis)/((M-1)*std) * diff_i/dmin_i
-        a = gd * inv_m + gs * (dmin - dis_c) * inv_m1 / jnp.maximum(
-            std_c, 1e-12)                                     # (M, 1)
-        coef = a / dmin                                       # (M, 1)
-        w = ind * (coef / row_norm)                           # (M, M)
-        g_pred = coef * pred - jnp.dot(
-            w, traw, preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)              # (M, 3)
+        pp = jnp.sum(pred * pred, axis=1, keepdims=True)
+        pred_aug = jnp.concatenate([pred, ones_col, pp], axis=1)  # (M, 5)
+        d2 = jnp.dot(pred_aug.astype(cross_dtype),
+                     target_aug.T.astype(cross_dtype),
+                     preferred_element_type=jnp.float32,
+                     precision=(jax.lax.Precision.DEFAULT
+                                if cross_dtype == jnp.bfloat16
+                                else jax.lax.Precision.HIGHEST))  # (M, M)
+        dmin2 = jnp.min(d2, axis=1, keepdims=True)
+        dmin2c = jnp.maximum(dmin2, 0.0)
+        dmin = jnp.sqrt(dmin2c)                        # (M, 1)
+        dis = jnp.sum(dmin) * inv_m                    # scalar
+        sq = jnp.sum(dmin2c) * inv_m
+        var = jnp.maximum(sq - dis * dis, 0.0) * bessel
+        std = jnp.maximum(jnp.sqrt(var), 1e-12)
 
-        r = c // ncol
-        base = (c % ncol) * 12
-        here_row = row_ids == r
-        for k in range(3):
-            val = jnp.sum(g_pred[:, k:k + 1])
-            acc = jnp.where(here_row & (col_ids == base + k), val, acc)
+        # one matmul yields both the tie-normalizer and the matched sum:
+        # ind @ [traw | 1] -> cols 0..2 sum of tied targets, col 3 tie count
+        ind = (d2 <= dmin2).astype(cross_dtype)        # (M, M), 0/1 exact
+        mn = jnp.dot(ind, traw4,
+                     preferred_element_type=jnp.float32,
+                     precision=(jax.lax.Precision.DEFAULT
+                                if cross_dtype == jnp.bfloat16
+                                else jax.lax.Precision.HIGHEST))  # (M, 4)
+        row_norm = mn[:, 3:4]
+        matched = mn[:, :3] / row_norm
+        u = (pred - matched) / jnp.maximum(dmin, 1e-12)  # (M, 3)
+        wvec = (dmin - dis) * inv_m1 / std               # (M, 1)
+        wu = u * wvec
+        # A_r = u^T model / M, B_r = wu^T model  (3, 3) K=M matmuls
+        a_r = jnp.dot(u.T, model_aug[:, :3],
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST) * inv_m
+        b_r = jnp.dot(wu.T, model_aug[:, :3],
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+
+        here = row_ids == c
+        vals = [jnp.sum(u[:, 0:1]) * inv_m, jnp.sum(u[:, 1:2]) * inv_m,
+                jnp.sum(u[:, 2:3]) * inv_m,
+                jnp.sum(wu[:, 0:1]), jnp.sum(wu[:, 1:2]),
+                jnp.sum(wu[:, 2:3])]
         for ai in range(3):
-            gcol = g_pred[:, ai:ai + 1]
             for bj in range(3):
-                val = jnp.sum(gcol * model_aug[:, bj:bj + 1])
-                acc = jnp.where(
-                    here_row & (col_ids == base + 3 + 3 * ai + bj), val, acc)
+                vals.append(a_r[ai, bj])
+        for ai in range(3):
+            for bj in range(3):
+                vals.append(b_r[ai, bj])
+        vals.append(dis)
+        vals.append(sq)
+        for k, v in enumerate(vals):
+            acc = jnp.where(here & (col_ids == k), v, acc)
         return acc
 
     out_ref[:, :] = jax.lax.fori_loop(
         0, _TC, one, jnp.zeros((rows, cols), jnp.float32))
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _moments_bwd_pallas(rot, pred_t, model_points, target, g_dis, g_std,
-                        dis, std, interpret=False):
-    """(g_t (N, 3), g_rot (N, 3, 3)) via the fused backward kernel."""
+@functools.partial(jax.jit, static_argnames=("interpret", "cross_dtype"))
+def _moments_train_pallas(rot, pred_t, model_points, target,
+                          interpret=False, cross_dtype=jnp.float32):
+    """(dis, sq, A_t (N,3), B_t (N,3), A_r (N,3,3), B_r (N,3,3)) via the
+    fused training kernel."""
     n = rot.shape[0]
     rot_rows = _pad_cols(
         rot.transpose(0, 2, 1).reshape(n * 3, 3).astype(jnp.float32), 8)
     ptd = _pad_cols(pred_t.astype(jnp.float32), 8)
-    scal = _pad_cols(jnp.stack(
-        [g_dis, g_std, dis, std], axis=1).astype(jnp.float32), 8)
     rot_rows = _pad_rows(rot_rows, 3 * _TC)
     ptd = _pad_rows(ptd, _TC)
-    scal = _pad_rows(scal, _TC)
     model8 = _pad_cols(jnp.concatenate(
         [model_points.astype(jnp.float32),
          jnp.ones((model_points.shape[0], 1), jnp.float32)], axis=1), 8)
     tgt = target.astype(jnp.float32)
     target8 = _pad_cols(jnp.concatenate(
-        [-2.0 * tgt, jnp.sum(tgt * tgt, axis=1, keepdims=True)], axis=1), 8)
+        [-2.0 * tgt, jnp.sum(tgt * tgt, axis=1, keepdims=True),
+         jnp.ones((tgt.shape[0], 1), jnp.float32)], axis=1), 8)
     num_prog = ptd.shape[0] // _TC
-    ncol = _TC // 8
 
     grid_spec = pl.GridSpec(
         grid=(num_prog,),
         in_specs=[
-            pl.BlockSpec((_TC, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((_TC, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((3 * _TC, 8), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -282,27 +307,26 @@ def _moments_bwd_pallas(rot, pred_t, model_points, target, g_dis, g_std,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((8, ncol * 12), lambda i: (i, 0),
+            pl.BlockSpec((_TC, 32), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
     )
     m = model_points.shape[0]
     (out,) = pl.pallas_call(
-        _bwd_kernel,
+        functools.partial(_train_kernel, cross_dtype=cross_dtype),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((num_prog * 8, ncol * 12),
-                                        jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((num_prog * _TC, 32), jnp.float32)],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * n * m * (m * 4 + m * 3 + 12),
-            bytes_accessed=(rot_rows.size + ptd.size + scal.size
-                            + model8.size + target8.size + 12 * n) * 4,
+            flops=2 * n * m * (m * 4 + m * 3 + m + 18),
+            bytes_accessed=(rot_rows.size + ptd.size + model8.size
+                            + target8.size + 32 * n) * 4,
             transcendentals=n * m,
         ),
-    )(scal, ptd, rot_rows, model8, target8)
-    # unpack: candidate c -> [prog, c//8 (row), c%8 (slot), 12]
-    out = out.reshape(num_prog, 8, ncol, 12).reshape(-1, 12)[:n]
-    return out[:, :3], out[:, 3:12].reshape(n, 3, 3)
+    )(ptd, rot_rows, model8, target8)
+    out = out[:n]
+    return (out[:, 24], out[:, 25], out[:, 0:3], out[:, 3:6],
+            out[:, 6:15].reshape(n, 3, 3), out[:, 15:24].reshape(n, 3, 3))
 
 
 # Bound on the (chunk, M, M) distance-tile footprint of the chunked XLA
@@ -350,8 +374,9 @@ def _moments_core(quat, trans, points, model_points, target, use_pallas):
     # sample std (ddof=1) matches torch.std in the reference loss
     # (/root/reference/DenseFusion/lib/loss.py:52)
     bessel = m / max(m - 1, 1)
-    if use_pallas and _HAS_PALLAS and jax.default_backend() == "tpu":
-        dis, sq = _moments_fwd(rot, pred_t, model_points, target)
+    if _use_kernel(use_pallas):
+        dis, sq = _moments_fwd(rot, pred_t, model_points, target,
+                               cross_dtype=_cross_dtype(use_pallas))
         var = jnp.maximum(sq - dis * dis, 0.0) * bessel
         return dis, jnp.sqrt(var)
     dmin = _map_chunked(
@@ -368,25 +393,52 @@ def sym_moments(quat, trans, points, model_points, target, use_pallas=True):
                          use_pallas)
 
 
+def _use_kernel(use_pallas) -> bool:
+    return bool(use_pallas) and _HAS_PALLAS and jax.default_backend() == "tpu"
+
+
+def _cross_dtype(use_pallas):
+    """use_pallas: False = chunked XLA, True = exact f32 kernel, "bf16" =
+    bf16 distance matmuls with f32 accumulation (~3% relative moment error
+    on random clouds, larger near convergence where d2 cancellation
+    dominates — TRAINING-only speed mode, ~3x on the kernels; keep eval /
+    checkpoint selection on the exact path)."""
+    return jnp.bfloat16 if use_pallas == "bf16" else jnp.float32
+
+
 def _sym_moments_fwd(quat, trans, points, model_points, target, use_pallas):
+    if _use_kernel(use_pallas):
+        # training path: ONE kernel pass emits moments + gradient
+        # precursors; the backward is a cheap linear combination
+        m = model_points.shape[0]
+        bessel = m / max(m - 1, 1)
+        rot = T.quat_to_mat(quat)
+        dis, sq, a_t, b_t, a_r, b_r = _moments_train_pallas(
+            rot, points + trans, model_points, target,
+            cross_dtype=_cross_dtype(use_pallas))
+        std = jnp.sqrt(jnp.maximum(sq - dis * dis, 0.0) * bessel)
+        return (dis, std), (quat, None, None, None, None,
+                            (a_t, b_t, a_r, b_r))
     out = _moments_core(quat, trans, points, model_points, target, use_pallas)
     return out, (quat, trans, points, model_points, target, out)
 
 
 def _sym_moments_bwd(use_pallas, res, grads):
-    quat, trans, points, model_points, target, (dis, std) = res
+    quat, trans, points, model_points, target, saved = res
     g_dis, g_std = grads
-    m = model_points.shape[0]
-    n = quat.shape[0]
 
-    if use_pallas and _HAS_PALLAS and jax.default_backend() == "tpu":
-        rot = T.quat_to_mat(quat)
-        g_t, g_rot = _moments_bwd_pallas(rot, points + trans, model_points,
-                                         target, g_dis, g_std, dis, std)
+    if _use_kernel(use_pallas):
+        a_t, b_t, a_r, b_r = saved
+        g_t = g_dis[:, None] * a_t + g_std[:, None] * b_t
+        g_rot = (g_dis[:, None, None] * a_r + g_std[:, None, None] * b_r)
         # chain rule quat -> R outside the kernel (N x tiny, vectorized)
         g_q = jax.vmap(lambda q, gr: jax.grad(
             lambda qq: jnp.sum(T.quat_to_mat(qq) * gr))(q))(quat, g_rot)
         return g_q, g_t, g_t, None, None
+
+    (dis, std) = saved
+    m = model_points.shape[0]
+    n = quat.shape[0]
 
     def per_candidate(q, t, p, gd, gs, dis_c, std_c):
         rot = T.quat_to_mat(q)

@@ -52,10 +52,21 @@ class PredictionModels(NamedTuple):
     # >1 = confidence-weighted top-k candidate averaging (beyond-reference
     # accuracy option; 1 = the reference's argmax pick)
     agg_topk: int = 1
-    # CCA pooling factor for the serving graph (ops/cca.py scale semantics);
-    # 4 cuts the dominant label-propagation cost ~16x and is exact for
-    # components separated by > 4 px
-    cca_scale: int = 4
+    # CCA pooling factor for the serving graph (ops/cca.py scale semantics):
+    # pooled label propagation with count-weighted (full-res-exact) component
+    # stats; same-class components separated by >= 2*cca_scale px are
+    # guaranteed to stay distinct (tests/test_cca.py adjacency tests).
+    cca_scale: int = 8
+    # unrolled label-propagation sweeps on the pooled grid (3 turns of
+    # component geometry — tabletop blobs converge in <= 2); bounds the
+    # worst case instead of a convergence while_loop (speckle masks from an
+    # untrained net otherwise run the loop to its 64-iteration cap)
+    cca_sweeps: int = 3
+    # PSPNet embedding decoder output stride (models/pspnet.PSPNet): 1 =
+    # reference-exact full-res decoder; 8 halves the pose stage's FLOPs
+    # with bilinear gather of the chosen pixels. Weights are
+    # stride-interchangeable (identical param tree).
+    emb_stride: int = 1
 
 
 def static_tuple(models: "PredictionModels", refine_iters: Optional[int] = None):
@@ -65,7 +76,7 @@ def static_tuple(models: "PredictionModels", refine_iters: Optional[int] = None)
     iters = models.refine_iters if refine_iters is None else refine_iters
     return (models.seg_model, models.posenet, models.refiner,
             len(models.classes), models.num_points, models.crop, iters,
-            models.agg_topk, models.cca_scale)
+            models.agg_topk, models.cca_scale, models.cca_sweeps)
 
 
 def _segment(seg_model, seg_vars, image):
@@ -77,7 +88,7 @@ def _segment(seg_model, seg_vars, image):
 
 
 def _class_mask(probs, pred_arg, cls_id, min_count: int = 100,
-                cca_scale: int = 1):
+                cca_scale: int = 1, cca_sweeps: int = 0):
     """Largest-mean-probability connected component of one class
     (pipeline/utils.py:444-467). cls_id is 1-based (0 = background).
 
@@ -93,7 +104,8 @@ def _class_mask(probs, pred_arg, cls_id, min_count: int = 100,
         axis=-1)[..., 0], 0.0)
     comp, found = cca_ops.best_component_mask(cls_mask, score, min_size=0.0,
                                               rule="mean_float",
-                                              scale=cca_scale)
+                                              scale=cca_scale,
+                                              fixed_sweeps=cca_sweeps)
     return comp, found & (count > min_count)
 
 
@@ -106,14 +118,15 @@ def _full_prediction_jit(seg_vars, pose_vars, refine_vars,
     """models_static: (seg_model, posenet, refiner, num_classes_fg, num_points,
     crop, refine_iters) — hashable module refs + ints."""
     (seg_model, posenet, refiner, k_fg, num_points, crop,
-     refine_iters, agg_topk, cca_scale) = models_static
+     refine_iters, agg_topk, cca_scale, cca_sweeps) = models_static
 
     probs, pred_arg = _segment(seg_model, seg_vars, image)
 
     cls_ids = jnp.arange(1, k_fg + 1, dtype=jnp.int32)
     masks, found = jax.vmap(
         lambda c: _class_mask(probs, pred_arg, c,
-                              cca_scale=cca_scale))(cls_ids)
+                              cca_scale=cca_scale,
+                              cca_sweeps=cca_sweeps))(cls_ids)
 
     keys = jax.random.split(key, k_fg)
 
@@ -172,7 +185,7 @@ def _full_prediction_batched_jit(seg_vars, pose_vars, refine_vars, images,
 def _pose_from_mask_jit(pose_vars, refine_vars, image, depth, mask, intr,
                         depth_scale, key, models_static, cls_idx: int):
     (_, posenet, refiner, _, num_points, crop, refine_iters,
-     agg_topk, _cca_scale) = models_static
+     agg_topk, _cca_scale, _cca_sweeps) = models_static
     h_img, w_img = depth.shape
     r0, c0, win = proj.zoom_window_bbox(mask, crop, h_img, w_img)
     cloud, choose, count = proj.backproject_choose_zoom(
@@ -217,10 +230,13 @@ def build_models(num_classes_fg: int, model_points: np.ndarray,
                  num_points: int = 1000, crop: int = 320,
                  refine_iters: int = 2, dtype=jnp.bfloat16,
                  seed: int = 0, img_hw=(480, 640),
-                 agg_topk: int = 1, cca_scale: int = 4) -> PredictionModels:
+                 agg_topk: int = 1, cca_scale: int = 8,
+                 cca_sweeps: int = 3,
+                 emb_stride: int = 1) -> PredictionModels:
     """Construct (or wrap loaded) model variables into a PredictionModels."""
     seg_model = unet.UNet(classes=num_classes_fg + 1, dtype=dtype)
-    posenet = densefusion.PoseNet(num_obj=num_classes_fg, dtype=dtype)
+    posenet = densefusion.PoseNet(num_obj=num_classes_fg, dtype=dtype,
+                                  emb_stride=emb_stride)
     refiner = densefusion.PoseRefineNet(num_obj=num_classes_fg, dtype=dtype)
     k0, k1, k2 = jax.random.split(jax.random.PRNGKey(seed), 3)
     if seg_vars is None:
@@ -239,7 +255,8 @@ def build_models(num_classes_fg: int, model_points: np.ndarray,
     return PredictionModels(
         seg_model, seg_vars, posenet, pose_vars, refiner, refine_vars,
         tuple(classes), jnp.asarray(model_points, jnp.float32),
-        num_points, crop, refine_iters, agg_topk, cca_scale)
+        num_points, crop, refine_iters, agg_topk, cca_scale, cca_sweeps,
+        emb_stride)
 
 
 def get_prediction_models(root: str, data_set_name: str,

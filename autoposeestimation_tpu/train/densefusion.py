@@ -57,6 +57,11 @@ class DFConfig:
     num_points: int = 1000
     num_points_mesh: int = 1000
     with_sym: bool = True
+    # bf16 distance matmuls in the symmetric-loss TRAIN kernel (~3x on the
+    # dominant training op; ~3% moment noise — eval/checkpoint selection
+    # stays exact f32). ops/pallas_addloss._cross_dtype documents the
+    # cancellation caveat near convergence.
+    sym_bf16: bool = False
     # mesh data parallelism: 'auto' (engage when >1 device — parity with the
     # reference's always-DataParallel PSPNet, DenseFusion/lib/network.py:33),
     # 'on', 'off'
@@ -72,10 +77,11 @@ def set_lr(opt_state, lr: float):
     return opt_state
 
 
-@functools.partial(jax.jit, static_argnames=("posenet", "tx", "with_sym"),
+@functools.partial(jax.jit, static_argnames=("posenet", "tx", "with_sym",
+                                             "sym_bf16"),
                    donate_argnames=("pose_vars", "opt_state"))
 def estimator_step(pose_vars, opt_state, batch, w, posenet, tx,
-                   with_sym: bool = True):
+                   with_sym: bool = True, sym_bf16: bool = False):
     """One estimator phase step. batch: img (B,S,S,3) normalized, cloud
     (B,N,3), choose (B,N), target (B,M,3), model_points (B,M,3), obj_idx (B,),
     is_sym (B,). Returns (vars, opt_state, metrics)."""
@@ -88,7 +94,8 @@ def estimator_step(pose_vars, opt_state, batch, w, posenet, tx,
             rngs={"dropout": batch["dropout_rng"]})
         out = losses.pose_loss(
             pred_r, pred_t, pred_c, batch["target"], batch["model_points"],
-            batch["cloud"], batch["is_sym"], w=w, with_sym=with_sym)
+            batch["cloud"], batch["is_sym"], w=w, with_sym=with_sym,
+            sym_bf16=sym_bf16)
         return out.loss, out.dis
 
     (loss, dis), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -300,7 +307,8 @@ def train(state: TrainerState, train_batches: Iterable, test_batches,
             else:
                 state.pose_vars, state.opt_state, metrics = estimator_step(
                     state.pose_vars, state.opt_state, batch, state.w,
-                    state.posenet, state.tx, cfg.with_sym)
+                    state.posenet, state.tx, cfg.with_sym,
+                    getattr(cfg, "sym_bf16", False))
                 epoch_losses.append(float(metrics["loss"]))
             epoch_dis.append(float(metrics["dis"]))
 

@@ -23,6 +23,17 @@ _REPO = os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 _CACHE = os.path.join(_REPO, "artifacts", "flops_cache.json")
 
+# Single source of truth for the benchmarked graph shapes: bench.py and the
+# graph builders below both read these, and the cache key includes them —
+# editing a config invalidates the cached FLOP count (r2 ADVICE: a
+# name-only key silently served stale MFU numbers).
+GRAPH_CONFIGS = {
+    "serving_graph": dict(num_classes=5, num_points=1000, crop=320, h=480,
+                          w=640, refine_iters=2),
+    "densefusion_train_step": dict(batch=8, n=1000, m=1000, crop=320,
+                                   num_obj=5),
+}
+
 
 def _build_serving_graph():
     """The bench.py headline graph: fused full_prediction, 640x480, 5 obj."""
@@ -32,8 +43,7 @@ def _build_serving_graph():
 
     from ..pipeline import predict
 
-    cfg = dict(num_classes=5, num_points=1000, crop=320, h=480, w=640,
-               refine_iters=2)
+    cfg = GRAPH_CONFIGS["serving_graph"]
     rng = np.random.default_rng(0)
     model_points = rng.normal(
         size=(cfg["num_classes"], 1000, 3)).astype(np.float32) * 0.05
@@ -64,7 +74,7 @@ def _build_densefusion_train_step():
 
     from ..train import densefusion as dft
 
-    cfg = dict(batch=8, n=1000, m=1000, crop=320, num_obj=5)
+    cfg = GRAPH_CONFIGS["densefusion_train_step"]
     dcfg = dft.DFConfig(num_points=cfg["n"], num_points_mesh=cfg["m"])
     state = dft.create_trainer(cfg["num_obj"], dcfg, crop=cfg["crop"],
                                dtype=jnp.bfloat16)
@@ -108,12 +118,16 @@ def _count(name: str) -> float:
 
 def cached_flops(name: str, timeout: int = 1800):
     """FLOPs of the named graph, from cache or a CPU-backend subprocess.
-    Returns None on failure (callers omit the MFU line)."""
+    Returns None on failure (callers omit the MFU line). The cache key is
+    name + the graph config, so shape edits re-count instead of silently
+    reusing stale numbers."""
+    key = name + ":" + json.dumps(GRAPH_CONFIGS.get(name, {}),
+                                  sort_keys=True)
     try:
         with open(_CACHE) as f:
             cache = json.load(f)
-        if name in cache:
-            return float(cache[name])
+        if key in cache:
+            return float(cache[key])
     except Exception:
         cache = {}
     try:
@@ -126,7 +140,7 @@ def cached_flops(name: str, timeout: int = 1800):
         flops = float(proc.stdout.strip().splitlines()[-1])
     except Exception:
         return None
-    cache[name] = flops
+    cache[key] = flops
     os.makedirs(os.path.dirname(_CACHE), exist_ok=True)
     with open(_CACHE, "w") as f:
         json.dump(cache, f, indent=1)

@@ -18,8 +18,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-_CONFIG = dict(num_classes=5, num_points=1000, crop=320, h=480, w=640,
-               refine_iters=2)
+from autoposeestimation_tpu.utils.flops import GRAPH_CONFIGS
+
+_CONFIG = GRAPH_CONFIGS["serving_graph"]
 
 
 def main():

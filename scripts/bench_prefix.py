@@ -67,6 +67,7 @@ def serving_section():
         num_points=num_points, crop=crop, refine_iters=2,
         dtype=jnp.bfloat16, img_hw=(h, w))
     cca_scale = models.cca_scale
+    cca_sweeps = models.cca_sweeps
 
     cfg = synthetic.SynthConfig(img_h=h, img_w=w, fx=600.0, fy=600.0,
                                 ring_radius=500.0, ring_height=450.0)
@@ -95,7 +96,8 @@ def serving_section():
                                            image_d + c)
         masks, found = jax.vmap(
             lambda cl: predict._class_mask(probs, pred_arg, cl,
-                                           cca_scale=cca_scale))(cls_ids)
+                                           cca_scale=cca_scale,
+                                           cca_sweeps=cca_sweeps))(cls_ids)
         return (masks.sum() * 0).astype(jnp.uint8), found
 
     def make_perclass(c, i, with_pose):
@@ -103,7 +105,8 @@ def serving_section():
                                            image_d + c)
         masks, found = jax.vmap(
             lambda cl: predict._class_mask(probs, pred_arg, cl,
-                                           cca_scale=cca_scale))(cls_ids)
+                                           cca_scale=cca_scale,
+                                           cca_sweeps=cca_sweeps))(cls_ids)
         keys = jax.random.split(jax.random.fold_in(
             jax.random.PRNGKey(0), i), num_classes)
 

@@ -113,18 +113,37 @@ def test_vjp_under_vmap():
     assert np.isfinite(np.asarray(g)).all()
 
 
-def test_bwd_kernel_interpret_matches_autodiff():
-    """The fused backward kernel (g_t, g_rot reductions in VMEM) must match
-    autodiff of the direct formulation. Ties from duplicated targets average
-    their cotangents — gradient-identical for exact duplicates."""
+def _train_kernel_grads(quat, trans, points, model, target, gd, gs):
+    """Run the fused train kernel (interpret) and combine precursors the way
+    the VJP wrapper does."""
+    from autoposeestimation_tpu.utils import transforms as TT
+
+    rot = TT.quat_to_mat(quat)
+    dis, sq, a_t, b_t, a_r, b_r = pa._moments_train_pallas(
+        rot, points + trans, model, target, interpret=True)
+    m = model.shape[0]
+    std = jnp.sqrt(jnp.maximum(sq - dis * dis, 0.0) * m / (m - 1))
+    g_t = gd[:, None] * a_t + gs[:, None] * b_t
+    g_rot = gd[:, None, None] * a_r + gs[:, None, None] * b_r
+    g_q = jax.vmap(lambda q, gr: jax.grad(
+        lambda qq: jnp.sum(TT.quat_to_mat(qq) * gr))(q))(quat, g_rot)
+    return dis, std, g_q, g_t
+
+
+def test_train_kernel_interpret_matches_autodiff():
+    """The fused train kernel (moments + gradient precursors in one pass)
+    must reproduce both the forward moments and autodiff gradients."""
     quat, trans, points, model, target = inputs(5, n=70, m=30)
     gd = jnp.asarray(np.random.default_rng(6).normal(size=70), jnp.float32)
     gs = jnp.asarray(np.random.default_rng(7).normal(size=70), jnp.float32)
 
-    dis, std = pa.sym_moments(quat, trans, points, model, target, False)
-    rot = T.quat_to_mat(quat)
-    g_t, g_rot = pa._moments_bwd_pallas(rot, points + trans, model, target,
-                                        gd, gs, dis, std, interpret=True)
+    dis, std, g_q, g_t = _train_kernel_grads(quat, trans, points, model,
+                                             target, gd, gs)
+    want_dis, want_std = reference_moments(quat, trans, points, model, target)
+    np.testing.assert_allclose(np.asarray(dis), np.asarray(want_dis),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(std), np.asarray(want_std),
+                               atol=1e-4)
 
     def loss_auto(q, t, p):
         d, s = reference_moments(q, t, p, model, target)
@@ -134,13 +153,10 @@ def test_bwd_kernel_interpret_matches_autodiff():
         quat, trans, points)
     np.testing.assert_allclose(np.asarray(g_t), np.asarray(ga_t), atol=1e-4)
     np.testing.assert_allclose(np.asarray(g_t), np.asarray(ga_p), atol=1e-4)
-    # chain rule through quat -> R as the VJP wrapper does
-    g_q = jax.vmap(lambda q, gr: jax.grad(
-        lambda qq: jnp.sum(T.quat_to_mat(qq) * gr))(q))(quat, g_rot)
     np.testing.assert_allclose(np.asarray(g_q), np.asarray(ga_q), atol=1e-4)
 
 
-def test_bwd_kernel_interpret_wrap_padded_targets():
+def test_train_kernel_interpret_wrap_padded_targets():
     """Wrap-padded model clouds duplicate targets -> exact distance ties; the
     indicator-normalized matching must still give finite, correct grads."""
     quat, trans, points, model, target = inputs(8, n=16, m=12)
@@ -148,10 +164,8 @@ def test_bwd_kernel_interpret_wrap_padded_targets():
     target = jnp.concatenate([target[:6], target[:6]], axis=0)
     gd = jnp.ones(16)
     gs = jnp.full(16, 0.3)
-    dis, std = pa.sym_moments(quat, trans, points, model, target, False)
-    rot = T.quat_to_mat(quat)
-    g_t, g_rot = pa._moments_bwd_pallas(rot, points + trans, model, target,
-                                        gd, gs, dis, std, interpret=True)
+    dis, std, g_q, g_t = _train_kernel_grads(quat, trans, points, model,
+                                             target, gd, gs)
 
     def loss_auto(q, t, p):
         d, s = reference_moments(q, t, p, model, target)
