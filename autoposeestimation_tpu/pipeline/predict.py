@@ -87,10 +87,14 @@ def _segment(seg_model, seg_vars, image):
     return probs, pred_arg
 
 
-def _class_mask(probs, pred_arg, cls_id, min_count: int = 100,
+def _class_mask(score_plane, pred_arg, cls_id, min_count: int = 100,
                 cca_scale: int = 1, cca_sweeps: int = 0):
     """Largest-mean-probability connected component of one class
-    (pipeline/utils.py:444-467). cls_id is 1-based (0 = background).
+    (pipeline/utils.py:444-467). cls_id is 1-based (0 = background);
+    `score_plane` is that class's (H, W) probability plane — callers slice
+    it from the transposed probs ONCE (a per-class take_along_axis on the
+    full (H, W, C) tensor is a 1.5M-element pointwise gather that cost more
+    than the entire CCA stage; round-3 A/B attribution).
 
     cca_scale > 1 labels components on a pooled mask (ops/cca.py) — the
     label-propagation sweeps dominate the fused graph's latency at full
@@ -99,9 +103,7 @@ def _class_mask(probs, pred_arg, cls_id, min_count: int = 100,
     count = jnp.sum(cls_mask.astype(jnp.int32))
     # the reference scores components by mean(class_id * prob); the class-id
     # factor is constant within a class so plain prob picks the same component
-    score = jnp.where(cls_mask, jnp.take_along_axis(
-        probs, jnp.full(probs.shape[:2] + (1,), cls_id, jnp.int32),
-        axis=-1)[..., 0], 0.0)
+    score = jnp.where(cls_mask, score_plane, 0.0)
     comp, found = cca_ops.best_component_mask(cls_mask, score, min_size=0.0,
                                               rule="mean_float",
                                               scale=cca_scale,
@@ -123,10 +125,13 @@ def _full_prediction_jit(seg_vars, pose_vars, refine_vars,
     probs, pred_arg = _segment(seg_model, seg_vars, image)
 
     cls_ids = jnp.arange(1, k_fg + 1, dtype=jnp.int32)
+    # one transpose yields every class's score plane — no per-class gather
+    score_planes = jnp.transpose(probs, (2, 0, 1))[1:k_fg + 1]
     masks, found = jax.vmap(
-        lambda c: _class_mask(probs, pred_arg, c,
-                              cca_scale=cca_scale,
-                              cca_sweeps=cca_sweeps))(cls_ids)
+        lambda sp, c: _class_mask(sp, pred_arg, c,
+                                  cca_scale=cca_scale,
+                                  cca_sweeps=cca_sweeps))(score_planes,
+                                                          cls_ids)
 
     keys = jax.random.split(key, k_fg)
 

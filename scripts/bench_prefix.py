@@ -95,18 +95,20 @@ def serving_section():
         probs, pred_arg = predict._segment(models.seg_model, models.seg_vars,
                                            image_d + c)
         masks, found = jax.vmap(
-            lambda cl: predict._class_mask(probs, pred_arg, cl,
-                                           cca_scale=cca_scale,
-                                           cca_sweeps=cca_sweeps))(cls_ids)
+            lambda sp, cl: predict._class_mask(sp, pred_arg, cl,
+                                               cca_scale=cca_scale,
+                                               cca_sweeps=cca_sweeps))(
+            jnp.transpose(probs, (2, 0, 1))[1:num_classes + 1], cls_ids)
         return (masks.sum() * 0).astype(jnp.uint8), found
 
     def make_perclass(c, i, with_pose):
         probs, pred_arg = predict._segment(models.seg_model, models.seg_vars,
                                            image_d + c)
         masks, found = jax.vmap(
-            lambda cl: predict._class_mask(probs, pred_arg, cl,
-                                           cca_scale=cca_scale,
-                                           cca_sweeps=cca_sweeps))(cls_ids)
+            lambda sp, cl: predict._class_mask(sp, pred_arg, cl,
+                                               cca_scale=cca_scale,
+                                               cca_sweeps=cca_sweeps))(
+            jnp.transpose(probs, (2, 0, 1))[1:num_classes + 1], cls_ids)
         keys = jax.random.split(jax.random.fold_in(
             jax.random.PRNGKey(0), i), num_classes)
 

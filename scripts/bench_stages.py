@@ -78,7 +78,8 @@ def main():
                                        image_d)
     cls_ids = jnp.arange(1, num_classes + 1, dtype=jnp.int32)
     masks, found = jax.vmap(
-        lambda c: predict._class_mask(probs, pred_arg, c))(cls_ids)
+        lambda sp, c: predict._class_mask(sp, pred_arg, c))(
+        jnp.transpose(probs, (2, 0, 1))[1:num_classes + 1], cls_ids)
     masks = jax.block_until_ready(masks)
 
     # --- stage 1: U-Net forward + softmax/argmax ------------------------
@@ -92,21 +93,23 @@ def main():
     def cca_step(c, i):
         pa = pred_arg + c
         m, f = jax.vmap(
-            lambda cl: predict._class_mask(probs, pa, cl))(cls_ids)
+            lambda sp, cl: predict._class_mask(sp, pa, cl))(
+            jnp.transpose(probs, (2, 0, 1))[1:num_classes + 1], cls_ids)
         return (m.sum() * 0).astype(jnp.int32), f
     emit("cca_5class_fullres", scan_time(cca_step, jnp.int32(0)))
 
     def cca_step4(c, i):
         pa = pred_arg + c
         m, f = jax.vmap(
-            lambda cl: predict._class_mask(probs, pa, cl,
-                                           cca_scale=4))(cls_ids)
+            lambda sp, cl: predict._class_mask(sp, pa, cl,
+                                               cca_scale=4))(
+            jnp.transpose(probs, (2, 0, 1))[1:num_classes + 1], cls_ids)
         return (m.sum() * 0).astype(jnp.int32), f
     emit("cca_5class_scale4", scan_time(cca_step4, jnp.int32(0)))
 
     # --- stage 2b: single-class CCA -------------------------------------
     def cca1_step(c, i):
-        m, f = predict._class_mask(probs, pred_arg + c, jnp.int32(1))
+        m, f = predict._class_mask(probs[..., 1], pred_arg + c, jnp.int32(1))
         return (m.sum() * 0).astype(jnp.int32), f
     emit("cca_1class", scan_time(cca1_step, jnp.int32(0)))
 
