@@ -113,3 +113,27 @@ def test_batched_full_prediction(synth_root):
     assert out["quats"].shape == (3, 2, 4)
     assert out["positions"].shape == (3, 2, 3)
     assert out["masks"].shape == (3, 2, h, w)
+
+
+def test_demo_round3_operating_regime():
+    """Regression pin on the round-3 demo artifact (r2 VERDICT task 3): in
+    the reference's operating regime the trained refiner must improve BOTH
+    ADD and translation error, serving must run with refine enabled, and
+    overall ADD<2cm success must be >= 90%
+    (/root/reference/experiments/eval.py:80-99 semantics). Skips when the
+    demo artifact hasn't been produced in this checkout."""
+    import json
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "artifacts", "demo_results_round3.json")
+    if not os.path.exists(path):
+        pytest.skip("demo_results_round3.json not present")
+    with open(path) as f:
+        res = json.load(f)
+    ev = res["eval"]
+    est = ev["estimator_only"]["ball"]
+    ref = ev["with_refine"]["ball"]
+    assert ref["dis"] <= est["dis"], (ref["dis"], est["dis"])
+    assert ref["t_err"] <= est["t_err"], (ref["t_err"], est["t_err"])
+    assert ev["use_refine"] is True
+    assert ref["p"] >= 0.90, ref["p"]
