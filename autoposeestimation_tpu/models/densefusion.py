@@ -152,15 +152,41 @@ class PoseRefineNetFeat(nn.Module):
 
 
 class RefineHead(nn.Module):
+    """Final head of the refiner.
+
+    The last layer is zero-initialized with a per-object `identity_bias`
+    (quaternion (1,0,0,0) for the rotation head, zeros for translation), so
+    a freshly-initialized refiner is an EXACT no-op: refined pose ==
+    estimator pose, refined ADD == estimator ADD. The reference's
+    torch-default init makes the untrained refiner a *random full rotation*
+    (lib/network.py:123-152 + loss_refiner.py quat normalize), which must be
+    unlearned before the refiner can help — on small datasets it never
+    recovers within the refine budget. Identity start means any learning
+    strictly improves on the estimator. Checkpoint import is unaffected
+    (same param names/shapes; init only applies to fresh training)."""
+
     out_dim: int
     num_obj: int
     dtype: Dtype = jnp.bfloat16
+    identity_bias: tuple = ()
 
     @nn.compact
     def __call__(self, feat, obj_idx):
         y = nn.relu(nn.Dense(512, dtype=self.dtype)(feat))
         y = nn.relu(nn.Dense(128, dtype=self.dtype)(y))
-        y = nn.Dense(self.out_dim * self.num_obj, dtype=jnp.float32)(
+        if self.identity_bias:
+            import numpy as _np
+
+            bias0 = _np.tile(_np.asarray(self.identity_bias, _np.float32),
+                             self.num_obj)
+            kernel_init = nn.initializers.zeros
+            bias_init = lambda _key, shape, dtype=jnp.float32: jnp.asarray(
+                bias0, dtype).reshape(shape)
+        else:
+            kernel_init = nn.linear.default_kernel_init
+            bias_init = nn.initializers.zeros
+        y = nn.Dense(self.out_dim * self.num_obj, dtype=jnp.float32,
+                     kernel_init=kernel_init, bias_init=bias_init)(
             y.astype(jnp.float32))
         b = y.shape[0]
         y = y.reshape(b, self.num_obj, self.out_dim)
@@ -178,6 +204,8 @@ class PoseRefineNet(nn.Module):
     @nn.compact
     def __call__(self, cloud, emb, obj_idx):
         feat = PoseRefineNetFeat(dtype=self.dtype)(cloud, emb)
-        pred_r = RefineHead(4, self.num_obj, self.dtype)(feat, obj_idx)
-        pred_t = RefineHead(3, self.num_obj, self.dtype)(feat, obj_idx)
+        pred_r = RefineHead(4, self.num_obj, self.dtype,
+                            identity_bias=(1.0, 0.0, 0.0, 0.0))(feat, obj_idx)
+        pred_t = RefineHead(3, self.num_obj, self.dtype,
+                            identity_bias=(0.0, 0.0, 0.0))(feat, obj_idx)
         return pred_r, pred_t

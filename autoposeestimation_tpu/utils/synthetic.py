@@ -34,15 +34,22 @@ class SphereObject:
     radius: float               # mm
     color: Tuple[int, int, int]
     symmetric: int = 1
-    parts: Tuple = ()           # extra (offset_xyz, radius) spheres
+    # extra spheres glued on: (offset_xyz, radius) or
+    # (offset_xyz, radius, color). A part color makes the orientation
+    # observable in RGB — the flat-shaded renderer otherwise hides rotation
+    # from the color branch entirely (the round-3 demo's ADD plateau was
+    # exactly this, not fixture resolution)
+    parts: Tuple = ()
 
 
 def object_spheres(obj: "SphereObject"):
-    """(center, radius) list for the object's main sphere + parts."""
-    out = [(np.asarray(obj.center, float), obj.radius)]
-    for off, rad in obj.parts:
+    """(center, radius, color) list for the object's main sphere + parts."""
+    out = [(np.asarray(obj.center, float), obj.radius, obj.color)]
+    for part in obj.parts:
+        off, rad = part[0], part[1]
+        col = part[2] if len(part) > 2 else obj.color
         out.append((np.asarray(obj.center, float) + np.asarray(off, float),
-                    rad))
+                    rad, col))
     return out
 
 
@@ -113,8 +120,8 @@ def render(cfg: SynthConfig, robot2cam: np.ndarray,
 
     sphere_list = []
     for si, sp in enumerate(spheres):
-        for c, r in object_spheres(sp):
-            sphere_list.append((si, c, r, sp.color))
+        for c, r, col in object_spheres(sp):
+            sphere_list.append((si, c, r, col))
     for si, c_robot, radius, col in sphere_list:
         c_cam = rot_rc @ (c_robot - robot2cam[:3, 3])
         b = d @ c_cam
@@ -215,7 +222,7 @@ def make_dataset(root: str, objects: Sequence[SphereObject] = None,
 
         # model cloud (.xyz, mm, centered) + .ply in robot frame
         model_parts = []
-        for c, r in object_spheres(obj):
+        for c, r, _col in object_spheres(obj):
             model_parts.append(sphere_model_points(r, 500) + (c - obj.center))
         model = np.concatenate(model_parts)[:1000]
         io.write_xyz(os.path.join(io.pc_dir(root), obj.name,

@@ -254,14 +254,52 @@ def test_trained_refiner_reduces_distance():
         return {**v, "params": optax.apply_updates(v["params"], up)}, o
 
     before = eval_dis(variables)
+    # identity-initialized refiner starts EXACTLY at the no-refinement
+    # baseline (round-3 fix: the torch-default random init started at a
+    # random full rotation and could spend the whole refine budget
+    # recovering)
+    assert abs(before - baseline) < 1e-6, (before, baseline)
     for _ in range(400):
         variables, opt = step(variables, opt)
     after = eval_dis(variables)
 
-    # untrained refiner typically HURTS (the round-1 observation); trained it
-    # must beat the no-refinement baseline on held-out errors
+    # trained, it must beat the no-refinement baseline on held-out errors
     assert after < baseline, (after, baseline, before)
     assert after < 0.5 * baseline, (after, baseline)
+
+
+def test_fresh_refiner_is_identity_noop():
+    """A freshly-initialized PoseRefineNet must be an exact no-op: delta ==
+    identity quaternion + zero translation for every object head, so refined
+    test ADD ties the estimator at refine-start and the phase machine's
+    best-checkpoint rule can immediately save a refiner that any learning
+    then strictly improves (round-3 'refiner never beats the estimator'
+    root cause)."""
+    from autoposeestimation_tpu.models import densefusion, losses
+
+    refiner = densefusion.PoseRefineNet(num_obj=3, dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(3)
+    v = refiner.init(rng, jnp.zeros((1, 16, 3)), jnp.zeros((1, 16, 32)),
+                     jnp.zeros((1,), jnp.int32))
+    cloud = jax.random.normal(jax.random.PRNGKey(1), (4, 16, 3))
+    emb = jax.random.normal(jax.random.PRNGKey(2), (4, 16, 32))
+    for obj in range(3):
+        dr, dt = refiner.apply(v, cloud, emb,
+                               jnp.full((4,), obj, jnp.int32))
+        np.testing.assert_allclose(
+            np.asarray(dr), np.tile([[1.0, 0, 0, 0]], (4, 1)), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(dt), np.zeros((4, 3)),
+                                   atol=1e-6)
+    # and through the compose path: refined pose == base pose
+    quat = jax.vmap(lambda k: jax.random.normal(k, (4,)))(
+        jax.random.split(jax.random.PRNGKey(5), 4))
+    from autoposeestimation_tpu.utils import transforms as T
+    quat = jax.vmap(T.quat_normalize)(quat)
+    trans = jax.random.normal(jax.random.PRNGKey(6), (4, 3)) * 0.1
+    dr, dt = refiner.apply(v, cloud, emb, jnp.zeros((4,), jnp.int32))
+    q2, t2 = losses.compose_refined(dr, dt, quat, trans)
+    np.testing.assert_allclose(np.asarray(q2), np.asarray(quat), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(t2), np.asarray(trans), atol=1e-5)
 
 
 def test_eval_step_full_pose_matches_distance():
