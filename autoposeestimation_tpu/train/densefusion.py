@@ -55,7 +55,12 @@ class DFConfig:
     refine_epoch_margin: int = 400
     start_epoch: int = 1
     num_points: int = 1000
-    num_points_mesh: int = 1000
+    # 500 matches the reference's loss everywhere it trains: myDataset
+    # num_pt_mesh_small=500 (datasets/myDataset/dataset.py:85), and the
+    # refine-phase bump to num_pt_mesh_large is commented out in
+    # tools/train.py:416 — so the (M, M) symmetric matching (the dominant
+    # train-step op) runs at 500x500, 4x cheaper than the former 1000 default
+    num_points_mesh: int = 500
     with_sym: bool = True
     # bf16 distance matmuls in the symmetric-loss TRAIN kernel (~3x on the
     # dominant training op; ~3% moment noise — eval/checkpoint selection

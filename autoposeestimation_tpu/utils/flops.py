@@ -30,7 +30,7 @@ _CACHE = os.path.join(_REPO, "artifacts", "flops_cache.json")
 GRAPH_CONFIGS = {
     "serving_graph": dict(num_classes=5, num_points=1000, crop=320, h=480,
                           w=640, refine_iters=2),
-    "densefusion_train_step": dict(batch=8, n=1000, m=1000, crop=320,
+    "densefusion_train_step": dict(batch=8, n=1000, m=500, crop=320,
                                    num_obj=5),
 }
 

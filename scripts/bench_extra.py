@@ -121,13 +121,16 @@ def main():
     cfg = dft.DFConfig()
     state = dft.create_trainer(num_obj=5, cfg=cfg, crop=320,
                                dtype=jnp.bfloat16)
-    b = 8
+    b, n_pt, m_mesh = 8, cfg.num_points, cfg.num_points_mesh
     batch = {
         "img": jnp.asarray(rng.normal(size=(b, 320, 320, 3)), jnp.float32),
-        "cloud": jnp.asarray(rng.normal(size=(b, 1000, 3)) * 0.05, jnp.float32),
-        "choose": jnp.asarray(rng.integers(0, 320 * 320, (b, 1000)), jnp.int32),
-        "target": jnp.asarray(rng.normal(size=(b, 1000, 3)) * 0.05, jnp.float32),
-        "model_points": jnp.asarray(rng.normal(size=(b, 1000, 3)) * 0.05,
+        "cloud": jnp.asarray(rng.normal(size=(b, n_pt, 3)) * 0.05,
+                             jnp.float32),
+        "choose": jnp.asarray(rng.integers(0, 320 * 320, (b, n_pt)),
+                              jnp.int32),
+        "target": jnp.asarray(rng.normal(size=(b, m_mesh, 3)) * 0.05,
+                              jnp.float32),
+        "model_points": jnp.asarray(rng.normal(size=(b, m_mesh, 3)) * 0.05,
                                     jnp.float32),
         "obj_idx": jnp.asarray(rng.integers(0, 5, b), jnp.int32),
         "is_sym": jnp.asarray(rng.integers(0, 2, b), bool),
