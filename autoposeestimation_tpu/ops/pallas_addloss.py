@@ -47,6 +47,27 @@ _HI = jax.lax.Precision.HIGHEST
 _TC = 64  # candidates per grid program
 
 
+def _split_bf16(x):
+    """f32 -> (hi, lo) bf16 pair with x == hi + lo to ~2^-16 relative."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _dot_f32x3(a, b):
+    """a @ b for f32 operands as three DEFAULT-precision bf16 MXU passes
+    (hi*hi + hi*lo + lo*hi, f32 accumulation): the same bf16x3 construction
+    as lax.Precision.HIGH (which Mosaic does not lower), ~2^-16 relative
+    error vs 6-pass HIGHEST — used for the kernels' dominant (M, M) tiles
+    where distances only feed min/compare and the loss moments."""
+    ah, al = _split_bf16(a)
+    bh, bl = _split_bf16(b)
+    acc = jnp.dot(ah, bh, preferred_element_type=jnp.float32)
+    acc += jnp.dot(ah, bl, preferred_element_type=jnp.float32)
+    acc += jnp.dot(al, bh, preferred_element_type=jnp.float32)
+    return acc
+
+
 def _moments_kernel(pred_t_ref, rot_ref, model_ref, target_ref,
                     dis_ref, sq_ref, *, cross_dtype=jnp.float32):
     """pred_t (TC, 8): candidate translations (points + t, xyz padded)
@@ -85,12 +106,16 @@ def _moments_kernel(pred_t_ref, rot_ref, model_ref, target_ref,
                        precision=jax.lax.Precision.HIGHEST)  # (M, 3)
         pp = jnp.sum(pred * pred, axis=1, keepdims=True)  # (M, 1)
         pred_aug = jnp.concatenate([pred, ones_col, pp], axis=1)  # (M, 5)
-        d2 = jnp.dot(pred_aug.astype(cross_dtype),
-                     target_aug.T.astype(cross_dtype),
-                     preferred_element_type=jnp.float32,
-                     precision=(jax.lax.Precision.DEFAULT
-                                if cross_dtype == jnp.bfloat16
-                                else jax.lax.Precision.HIGHEST))  # (M,M) MXU
+        # f32 mode runs the dominant (M, M) tile as manual bf16x3
+        # (_dot_f32x3, the Precision.HIGH construction — Mosaic doesn't
+        # lower HIGH) instead of 6-pass HIGHEST: ~2^-16 relative error on
+        # distances that only feed min/compare and the loss moments
+        if cross_dtype == jnp.bfloat16:
+            d2 = jnp.dot(pred_aug.astype(cross_dtype),
+                         target_aug.T.astype(cross_dtype),
+                         preferred_element_type=jnp.float32)  # (M, M) MXU
+        else:
+            d2 = _dot_f32x3(pred_aug, target_aug.T)
         dmin2 = jnp.maximum(jnp.min(d2, axis=1, keepdims=True), 0.0)  # (M, 1)
         dmin = jnp.sqrt(dmin2)
         here = (row_ids == c // cols) & (col_ids == c % cols)
@@ -199,8 +224,9 @@ def _train_kernel(pred_t_ref, rot_ref, model_ref, target_ref, out_ref, *,
     target_aug = target_ref[:, :5]  # (M, 5): [-2t, ||t||^2, 1]
     traw = target_aug[:, :3] * -0.5
     m = model_aug.shape[0]
-    traw4 = jnp.concatenate(
-        [traw, jnp.ones((m, 1), jnp.float32)], axis=1).astype(cross_dtype)
+    traw4_f32 = jnp.concatenate(
+        [traw, jnp.ones((m, 1), jnp.float32)], axis=1)
+    traw4 = traw4_f32.astype(cross_dtype)
     rows = out_ref.shape[0]
     cols = out_ref.shape[1]
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
@@ -219,12 +245,14 @@ def _train_kernel(pred_t_ref, rot_ref, model_ref, target_ref, out_ref, *,
                        precision=jax.lax.Precision.HIGHEST)  # (M, 3)
         pp = jnp.sum(pred * pred, axis=1, keepdims=True)
         pred_aug = jnp.concatenate([pred, ones_col, pp], axis=1)  # (M, 5)
-        d2 = jnp.dot(pred_aug.astype(cross_dtype),
-                     target_aug.T.astype(cross_dtype),
-                     preferred_element_type=jnp.float32,
-                     precision=(jax.lax.Precision.DEFAULT
-                                if cross_dtype == jnp.bfloat16
-                                else jax.lax.Precision.HIGHEST))  # (M, M)
+        # dominant (M, M) tile: bf16 single pass or manual bf16x3
+        # (_dot_f32x3; Mosaic doesn't lower Precision.HIGH)
+        if cross_dtype == jnp.bfloat16:
+            d2 = jnp.dot(pred_aug.astype(cross_dtype),
+                         target_aug.T.astype(cross_dtype),
+                         preferred_element_type=jnp.float32)  # (M, M)
+        else:
+            d2 = _dot_f32x3(pred_aug, target_aug.T)
         dmin2 = jnp.min(d2, axis=1, keepdims=True)
         dmin2c = jnp.maximum(dmin2, 0.0)
         dmin = jnp.sqrt(dmin2c)                        # (M, 1)
@@ -235,12 +263,17 @@ def _train_kernel(pred_t_ref, rot_ref, model_ref, target_ref, out_ref, *,
 
         # one matmul yields both the tie-normalizer and the matched sum:
         # ind @ [traw | 1] -> cols 0..2 sum of tied targets, col 3 tie count
-        ind = (d2 <= dmin2).astype(cross_dtype)        # (M, M), 0/1 exact
-        mn = jnp.dot(ind, traw4,
-                     preferred_element_type=jnp.float32,
-                     precision=(jax.lax.Precision.DEFAULT
-                                if cross_dtype == jnp.bfloat16
-                                else jax.lax.Precision.HIGHEST))  # (M, 4)
+        ind = (d2 <= dmin2).astype(jnp.bfloat16)       # (M, M), 0/1 exact
+        if cross_dtype == jnp.bfloat16:
+            mn = jnp.dot(ind, traw4,
+                         preferred_element_type=jnp.float32)  # (M, 4)
+        else:
+            # 0/1 is exact in bf16, so only traw4 needs the hi/lo split:
+            # two DEFAULT passes reproduce the f32 product exactly up to
+            # the dropped 2^-16 residual
+            th, tl = _split_bf16(traw4_f32)
+            mn = jnp.dot(ind, th, preferred_element_type=jnp.float32) \
+                + jnp.dot(ind, tl, preferred_element_type=jnp.float32)
         row_norm = mn[:, 3:4]
         matched = mn[:, :3] / row_norm
         u = (pred - matched) / jnp.maximum(dmin, 1e-12)  # (M, 3)

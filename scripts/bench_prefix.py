@@ -150,7 +150,9 @@ def train_section():
     from autoposeestimation_tpu.models import densefusion, losses
     from autoposeestimation_tpu.train import densefusion as dft
 
-    num_obj, bs, n, m, crop = 5, 8, 1000, 1000, 320
+    # m follows DFConfig.num_points_mesh (500 = reference parity; the loss
+    # trains at num_pt_mesh_small everywhere in the reference)
+    num_obj, bs, n, m, crop = 5, 8, 1000, dft.DFConfig.num_points_mesh, 320
     rng = np.random.default_rng(1)
     posenet = densefusion.PoseNet(num_obj=num_obj, dtype=jnp.bfloat16)
     refiner = densefusion.PoseRefineNet(num_obj=num_obj, dtype=jnp.bfloat16)
@@ -209,6 +211,16 @@ def train_section():
         return (pv, os_), metrics["loss"]
     emit("train_estimator_step_bs8",
          scan_time(est_step, (pose_vars, opt_state), iters=8))
+
+    def est_step_bf16(carry, i):
+        pv, os_ = carry
+        b = dict(batch)
+        b["dropout_rng"] = jax.random.fold_in(jax.random.PRNGKey(7), i)
+        pv, os_, metrics = dft.estimator_step(pv, os_, b, 0.015, posenet, tx,
+                                              True, True)
+        return (pv, os_), metrics["loss"]
+    emit("train_estimator_step_bs8_symbf16",
+         scan_time(est_step_bf16, (pose_vars, opt_state), iters=8))
 
     txr = dft.make_optimizer(1e-4)
     opt_r = txr.init(refine_vars["params"])

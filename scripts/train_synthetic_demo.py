@@ -144,7 +144,12 @@ def main():
     num_pt, num_pt_mesh, crop = 500, 500, 128
     dcfg = dft.DFConfig(batch_size=4, num_points=num_pt,
                         num_points_mesh=num_pt_mesh, lr=1e-4,
-                        refine_epoch_margin=(2 * args.pose_epochs) // 3,
+                        # 5/6 of the budget ≈ the reference's ratio (400 of
+                        # nepoch 500); it must trail the decay fallback (2/3)
+                        # by enough epochs for the refine MARGIN to fire
+                        # first — at 2/3 both fallbacks could collide 4
+                        # epochs after a late margin decay
+                        refine_epoch_margin=(5 * args.pose_epochs) // 6,
                         with_sym=False)
     state = dft.create_trainer(num_obj=1, cfg=dcfg, crop=crop,
                                dtype=jnp.bfloat16)
@@ -165,8 +170,11 @@ def main():
         # one-shot scheduled decay as a plateau fallback ONLY while the
         # margin hasn't fired; it mimics the margin decay exactly (flag set,
         # lr AND w decayed once) so the two paths can never stack
-        # (r2 ADVICE finding)
-        if (not st.decay_start and epoch == (args.pose_epochs // 2)):
+        # (r2 ADVICE finding). At 2/3 of the budget: the margin typically
+        # fires around epoch ~62 on this fixture — a half-budget fallback
+        # preempted it by 2 epochs, masking the margin-native behavior the
+        # demo exists to demonstrate
+        if (not st.decay_start and epoch == (2 * args.pose_epochs) // 3):
             st.decay_start = True
             st.lr *= dcfg.lr_rate
             st.w *= dcfg.w_rate
