@@ -254,8 +254,16 @@ def trained_serving_line(demo_root="/tmp/autopose_demo"):
                             "synth")
     pose_vars = ckpt.load_checkpoint(
         os.path.join(pose_dir, "pose_model.npz"))["variables"]
-    refine_vars = ckpt.load_checkpoint(
-        os.path.join(pose_dir, "pose_refine_model.npz"))["variables"]
+    # an interrupted demo rerun can leave the workspace without the refine
+    # checkpoint (the refine phase comes last); the trained-stage-mix point
+    # of this line stands with identity-init refine heads, so fall back
+    refine_path = os.path.join(pose_dir, "pose_refine_model.npz")
+    if os.path.exists(refine_path):
+        refine_vars = ckpt.load_checkpoint(refine_path)["variables"]
+        refine_note = "trained refiner"
+    else:
+        refine_vars = None
+        refine_note = "refine ckpt absent (interrupted demo run) — identity-init refiner"
     cloud = io.read_xyz(os.path.join(io.pc_dir(demo_root), "ball",
                                      "ball.xyz")) / 1000.0
     idx = np.arange(500) % len(cloud)
@@ -304,6 +312,7 @@ def trained_serving_line(demo_root="/tmp/autopose_demo"):
         "metric": "full_prediction_fps_trained_demo_256x320_1obj",
         "value": round(sorted(trials)[1], 2), "unit": "frames/sec",
         "method": "scan-serialized + host readback, trained demo ckpts",
+        "refiner": refine_note,
         "object_found": bool(np.asarray(fd).any())}), flush=True)
 
 
