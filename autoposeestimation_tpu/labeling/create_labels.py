@@ -231,12 +231,17 @@ def create_pose_data(root: str, classes: Sequence[str], ds_name: str,
                      reference_point: np.ndarray,
                      new_pred: bool = True, get_extra_labels: bool = False,
                      n_viewpoints: int = 30, global_regression: bool = False,
-                     progress=None) -> Dict:
+                     progress=None, data_parallel: str = "auto") -> Dict:
     """The heavyweight offline pipeline: Phase A re-labeling, Phase B
     reconstruction, Phase C pose-label fitting — with the reference's
     per-phase timing stats (create_labels.py:216-280) and hyperparameters
-    (:219-232)."""
+    (:219-232). data_parallel ('auto'/'on'/'off', parallel.mesh.auto_mesh
+    semantics): with >1 device, Phase B's per-view surface extraction runs
+    view-sharded across the mesh 'data' axis."""
+    from ..parallel import mesh as pmesh
     from ..reconstruction import create_pointcloud as rec
+
+    mesh = pmesh.auto_mesh(data_parallel)
 
     mode = "new_pred" if new_pred else "pred"
     times = {"seg": [], "pc": [], "pose": []}
@@ -256,7 +261,7 @@ def create_pose_data(root: str, classes: Sequence[str], ds_name: str,
             mode=mode, n_viewpoints=n_viewpoints, min_friends=20, min_dist=5,
             nb_neighbors=20, threshold=10, voxel_size=2, voxel_size_out=5,
             global_regression=global_regression, icp_point2point=True,
-            icp_point2plane=False)
+            icp_point2plane=False, mesh=mesh)
         times["pc"].append(time.time() - t1)
 
         t2 = time.time()

@@ -19,9 +19,11 @@ All geometry in robot-frame mm, matching the on-disk contract.
 """
 from __future__ import annotations
 
+import functools
 import os
-from typing import List, Optional
+from typing import List, Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -105,6 +107,26 @@ def get_view_distribution(data_path: str, run: str, n: int, n_viewpoints: int,
     return np.asarray(selection)[order]
 
 
+def _masked_std(x, valid):
+    """Population std over the valid entries only (np.std semantics on the
+    real points — padding must not shrink the spread)."""
+    w = valid.astype(jnp.float32)
+    n = jnp.maximum(jnp.sum(w), 1.0)
+    mu = jnp.sum(x * w) / n
+    return jnp.sqrt(jnp.maximum(jnp.sum(w * (x - mu) ** 2) / n, 0.0))
+
+
+def _clean_chain(pts, valid, min_friends, min_dist, nb_neighbors):
+    """Radius + statistical outlier removal with the Mahalanobis-std ratio
+    (open3d_utils.py:195-213), shared by the per-view and batched paths."""
+    valid = pc.remove_radius_outliers(pts, valid, min_friends, min_dist)
+    maha = pc.mahalanobis(pts, valid)
+    std_ratio = _masked_std(maha, valid)
+    valid = pc.remove_statistical_outliers(pts, valid, nb_neighbors,
+                                           jnp.maximum(std_ratio, 1e-6))
+    return valid
+
+
 def get_surface(label: np.ndarray, depth: np.ndarray, intr, robot2cam,
                 min_friends: int, min_dist: float, nb_neighbors: int,
                 voxel_size: float) -> np.ndarray:
@@ -127,12 +149,91 @@ def get_surface(label: np.ndarray, depth: np.ndarray, intr, robot2cam,
     pts = jnp.asarray(pts)
     valid = jnp.asarray(valid)
     pts, valid = pc.voxel_downsample(pts, valid, voxel_size)
-    valid = pc.remove_radius_outliers(pts, valid, min_friends, min_dist)
-    maha = pc.mahalanobis(pts, valid)
-    std_ratio = float(jnp.std(jnp.where(valid, maha, 0.0)))
-    valid = pc.remove_statistical_outliers(pts, valid, nb_neighbors,
-                                           max(std_ratio, 1e-6))
+    valid = _clean_chain(pts, valid, min_friends, min_dist, nb_neighbors)
     return pc.compact(pts, valid)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cap", "min_friends", "nb_neighbors"))
+def _surfaces_batched_jit(labels, depths, intrs, robot2cams, min_friends,
+                          min_dist, nb_neighbors, voxel_size, cap: int):
+    """Batched per-view surface extraction as ONE compiled graph.
+
+    labels (V, H, W) int, depths (V, H, W) mm, intrs (V, 4), robot2cams
+    (V, 4, 4) -> ((V, cap, 3) robot-frame points, (V, cap) validity). The
+    full H*W lattice is backprojected under its mask (no host nonzero), the
+    exact voxel downsample runs on the lattice, and because the downsample
+    emits its K voxel means as the valid prefix, a static slice to `cap`
+    keeps every voxel whenever K <= cap; the O(N^2) outlier stages then run
+    on the cap-sized cloud. vmapped over the view axis, so sharding the
+    inputs over a mesh 'data' axis runs views on separate chips — the
+    multi-chip reconstruction mode (SURVEY §2.13: view-axis parallelism of
+    the offline pipeline; each view's chain is independent until ICP).
+    """
+
+    def one(label, depth, intr, r2c):
+        h, w = label.shape
+        rr = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0).reshape(-1)
+        cc = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1).reshape(-1)
+        z = depth.reshape(-1).astype(jnp.float32)
+        valid = (label.reshape(-1) != 0) & (z > 0)
+        cam = proj.pixels_to_points(rr, cc, z, intr)
+        robot = cam @ r2c[:3, :3].T + r2c[:3, 3]
+        pts, v = pc.voxel_downsample(robot, valid, voxel_size)
+        pts, v = pts[:cap], v[:cap]
+        v = _clean_chain(pts, v, min_friends, min_dist, nb_neighbors)
+        return jnp.where(v[:, None], pts, 0.0), v
+
+    return jax.vmap(one)(labels, depths, intrs, robot2cams)
+
+
+def get_surfaces_batched(labels: Sequence[np.ndarray],
+                         depths: Sequence[np.ndarray], intrs, robot2cams,
+                         min_friends: int, min_dist: float, nb_neighbors: int,
+                         voxel_size: float, mesh=None,
+                         cap: int = 4096) -> List[np.ndarray]:
+    """All views' surfaces in one device call, optionally sharded over a
+    `jax.sharding.Mesh` 'data' axis (one or more views per chip). Returns a
+    compacted (K_i, 3) robot-frame cloud per view, matching per-view
+    `get_surface` output up to float association order."""
+    v = len(labels)
+    if v == 0:
+        return []
+    lab = np.stack([np.asarray(x) for x in labels]).astype(np.int32)
+    dep = np.stack([np.asarray(x, np.float32) for x in depths])
+    ivec = []
+    for intr in (intrs if isinstance(intrs, (list, tuple)) else [intrs] * v):
+        ivec.append(intr.as_array() if hasattr(intr, "as_array")
+                    else np.asarray([intr["fx"], intr["fy"], intr["ppx"],
+                                     intr["ppy"]], np.float32))
+    ivec = np.stack(ivec).astype(np.float32)
+    r2c = np.stack([np.asarray(t, np.float32) for t in robot2cams])
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        nd = mesh.shape["data"]
+        pad = (-v) % nd
+        if pad:  # padded views: empty masks -> no valid output points
+            lab = np.concatenate([lab, np.zeros((pad,) + lab.shape[1:],
+                                                lab.dtype)])
+            dep = np.concatenate([dep, np.zeros((pad,) + dep.shape[1:],
+                                                dep.dtype)])
+            ivec = np.concatenate([ivec, np.ones((pad, 4), np.float32)])
+            r2c = np.concatenate(
+                [r2c, np.broadcast_to(np.eye(4, dtype=np.float32),
+                                      (pad, 4, 4))])
+        shard = NamedSharding(mesh, P("data"))
+        lab, dep, ivec, r2c = (jax.device_put(x, shard)
+                               for x in (lab, dep, ivec, r2c))
+    pts, val = _surfaces_batched_jit(
+        jnp.asarray(lab), jnp.asarray(dep), jnp.asarray(ivec),
+        jnp.asarray(r2c), min_friends=int(min_friends),
+        min_dist=jnp.float32(min_dist), nb_neighbors=int(nb_neighbors),
+        voxel_size=jnp.float32(voxel_size), cap=cap)
+    pts = np.asarray(pts)
+    val = np.asarray(val)
+    return [pc.compact(pts[i], val[i]) for i in range(v)]
 
 
 def _icp_merge(target_np: np.ndarray, source_np: np.ndarray,
@@ -176,11 +277,7 @@ def align_point_clouds(clouds: List[np.ndarray], min_friends: int,
         tp, tv = pc.pad_bucket(target)
         tp = jnp.asarray(tp)
         tv = jnp.asarray(tv)
-        tv = pc.remove_radius_outliers(tp, tv, min_friends, min_dist)
-        maha = pc.mahalanobis(tp, tv)
-        std_ratio = float(jnp.std(jnp.where(tv, maha, 0.0)))
-        tv = pc.remove_statistical_outliers(tp, tv, nb_neighbors,
-                                            max(std_ratio, 1e-6))
+        tv = _clean_chain(tp, tv, min_friends, min_dist, nb_neighbors)
         target = pc.compact(tp, tv)
     return target
 
@@ -188,28 +285,35 @@ def align_point_clouds(clouds: List[np.ndarray], min_friends: int,
 def get_surface_positions(root: str, object_name: str, run: str,
                           min_friends: int, min_dist: float,
                           nb_neighbors: int, mode: str = "gen",
-                          voxel_size: float = 5.0) -> np.ndarray:
+                          voxel_size: float = 5.0, mesh=None) -> np.ndarray:
     """Per-sample (surface centroid, camera position) pairs in the robot
     frame — the triangulation inputs of open3d_utils.py:332-382. Combine with
-    ops/pointcloud.triangulate_position to localize an object from views."""
+    ops/pointcloud.triangulate_position to localize an object from views.
+    With `mesh`, all views run as one batched graph sharded over 'data'."""
     label_root = os.path.join(io.label_dir(root), object_name, run)
     data_root = os.path.join(io.data_dir(root), object_name, run)
-    positions = []
+    labels, depths, intrs, r2cs = [], [], [], []
     for fn in sorted(os.listdir(label_root)):
         if not fn.endswith(f".{mode}.label.png"):
             continue
         stem = fn[: -len(f".{mode}.label.png")]
         meta = io.read_sample_meta(os.path.join(data_root,
                                                 stem + ".meta.json"))
-        robot2cam = io.robot2cam_from_meta(meta)
-        depth = io.read_depth(os.path.join(
-            data_root, stem + ".depth.png")).astype(np.float64)
-        label = io.read_label(os.path.join(label_root, fn))
-        surface = get_surface(label, depth, meta["intr"], robot2cam,
-                              min_friends, min_dist, nb_neighbors, voxel_size)
-        if len(surface) == 0:
-            continue
-        positions.append([surface.mean(axis=0), robot2cam[:3, 3]])
+        r2cs.append(io.robot2cam_from_meta(meta))
+        depths.append(io.read_depth(os.path.join(
+            data_root, stem + ".depth.png")).astype(np.float64))
+        labels.append(io.read_label(os.path.join(label_root, fn)))
+        intrs.append(meta["intr"])
+    if mesh is not None:
+        surfaces = get_surfaces_batched(labels, depths, intrs, r2cs,
+                                        min_friends, min_dist, nb_neighbors,
+                                        voxel_size, mesh=mesh)
+    else:
+        surfaces = [get_surface(lb, dp, it, rc, min_friends, min_dist,
+                                nb_neighbors, voxel_size)
+                    for lb, dp, it, rc in zip(labels, depths, intrs, r2cs)]
+    positions = [[s.mean(axis=0), rc[:3, 3]]
+                 for s, rc in zip(surfaces, r2cs) if len(s)]
     return np.asarray(positions)
 
 
@@ -221,9 +325,13 @@ def load_point_cloud(object_name: str, save_dir: str, root: str,
                      nb_neighbors: int = 5, global_regression: bool = False,
                      icp_point2point: bool = True,
                      icp_point2plane: bool = True,
-                     progress=None) -> np.ndarray:
+                     progress=None, mesh=None) -> np.ndarray:
     """Reconstruct one object from its labeled runs; writes all artifacts.
-    Returns the final centered cloud (mm)."""
+    Returns the final centered cloud (mm). With `mesh` (a jax.sharding.Mesh
+    with a 'data' axis), each run's per-view surface extraction — the
+    device-heavy half of the pipeline — runs as ONE batched graph with views
+    sharded across chips; the sequential ICP merge then consumes the
+    precomputed surfaces."""
     label_root = os.path.join(io.label_dir(root), object_name)
     runs = [d for d in sorted(os.listdir(label_root)) if d != "extra"]
     if not runs:
@@ -240,20 +348,33 @@ def load_point_cloud(object_name: str, save_dir: str, root: str,
         take = min(n_viewpoints, n)
         idx_selection = get_view_distribution(data_path, run, n, take)
 
-        merged: Optional[np.ndarray] = None
+        view_labels, view_depths, view_intrs, view_r2cs = [], [], [], []
         rotation = np.eye(3)
         for idx in idx_selection:
             meta = io.read_sample_meta(
                 os.path.join(data_path, run, f"{idx:06d}.meta.json"))
-            robot2cam = io.robot2cam_from_meta(meta)
+            view_r2cs.append(io.robot2cam_from_meta(meta))
             rotation = np.asarray(meta["object_pose"])[:3, :3]
-            depth = io.read_depth(os.path.join(
-                data_path, run, f"{idx:06d}.depth.png")).astype(np.float64)
-            label = io.read_label(os.path.join(
-                label_root, run, f"{idx:06d}.{mode}.label.png"))
-            source = get_surface(label, depth, meta["intr"], robot2cam,
-                                 min_friends, min_dist, nb_neighbors,
-                                 voxel_size)
+            view_depths.append(io.read_depth(os.path.join(
+                data_path, run, f"{idx:06d}.depth.png")).astype(np.float64))
+            view_labels.append(io.read_label(os.path.join(
+                label_root, run, f"{idx:06d}.{mode}.label.png")))
+            view_intrs.append(meta["intr"])
+        if mesh is not None:  # view-sharded: all surfaces in one device call
+            surfaces = get_surfaces_batched(
+                view_labels, view_depths, view_intrs, view_r2cs,
+                min_friends, min_dist, nb_neighbors, voxel_size, mesh=mesh)
+        else:
+            surfaces = None
+
+        merged: Optional[np.ndarray] = None
+        for view_i, idx in enumerate(idx_selection):
+            source = (surfaces[view_i] if surfaces is not None
+                      else get_surface(view_labels[view_i],
+                                       view_depths[view_i],
+                                       view_intrs[view_i], view_r2cs[view_i],
+                                       min_friends, min_dist, nb_neighbors,
+                                       voxel_size))
             if len(source) == 0:
                 continue
             if merged is None:
