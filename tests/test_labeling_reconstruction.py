@@ -124,3 +124,25 @@ def test_make_dataset_split(synth_root):
     test = io.read_lines(os.path.join(ds, "test_data_list.txt"))
     assert not set(train) & set(test)
     assert io.read_lines(os.path.join(ds, "classes.txt")) == ["ball"]
+
+
+def test_create_pose_data_engages_view_sharding(monkeypatch, tmp_path):
+    """create_pose_data (Phase B driver) must hand the reconstruction a
+    'data'-axis mesh when data_parallel engages (and None when off) —
+    the offline-pipeline analog of the trainers' auto-DP knob."""
+    from autoposeestimation_tpu.labeling import create_labels as cl
+    from autoposeestimation_tpu.reconstruction import create_pointcloud as rec
+
+    seen = []
+    monkeypatch.setattr(rec, "load_point_cloud",
+                        lambda *a, **kw: seen.append(kw.get("mesh")))
+    monkeypatch.setattr(cl.pose_label_mod, "create_pose_label",
+                        lambda *a, **kw: 0)
+
+    cl.create_pose_data(str(tmp_path), ["ball"], "synth", None, None,
+                        np.zeros(3), new_pred=False, data_parallel="on")
+    cl.create_pose_data(str(tmp_path), ["ball"], "synth", None, None,
+                        np.zeros(3), new_pred=False, data_parallel="off")
+    assert len(seen) == 2
+    assert seen[0] is not None and "data" in seen[0].shape
+    assert seen[1] is None
