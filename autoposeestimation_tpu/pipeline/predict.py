@@ -104,11 +104,10 @@ def _class_mask(score_plane, pred_arg, cls_id, min_count: int = 100,
     # the reference scores components by mean(class_id * prob); the class-id
     # factor is constant within a class so plain prob picks the same component
     score = jnp.where(cls_mask, score_plane, 0.0)
-    comp, found = cca_ops.best_component_mask(cls_mask, score, min_size=0.0,
-                                              rule="mean_float",
-                                              scale=cca_scale,
-                                              fixed_sweeps=cca_sweeps)
-    return comp, found & (count > min_count)
+    comp, found, converged = cca_ops.best_component_mask(
+        cls_mask, score, min_size=0.0, rule="mean_float", scale=cca_scale,
+        fixed_sweeps=cca_sweeps, with_flag=True)
+    return comp, found & (count > min_count), converged
 
 
 @functools.partial(
@@ -127,7 +126,7 @@ def _full_prediction_jit(seg_vars, pose_vars, refine_vars,
     cls_ids = jnp.arange(1, k_fg + 1, dtype=jnp.int32)
     # one transpose yields every class's score plane — no per-class gather
     score_planes = jnp.transpose(probs, (2, 0, 1))[1:k_fg + 1]
-    masks, found = jax.vmap(
+    masks, found, cca_converged = jax.vmap(
         lambda sp, c: _class_mask(sp, pred_arg, c,
                                   cca_scale=cca_scale,
                                   cca_sweeps=cca_sweeps))(score_planes,
@@ -167,6 +166,10 @@ def _full_prediction_jit(seg_vars, pose_vars, refine_vars,
         "quats": quat,
         "positions": trans,
         "argmax": pred_arg,
+        # per-class: False iff the fixed-sweep CCA budget was too small for
+        # this frame's component geometry (fragment may have been selected);
+        # cheap exact check, see ops/cca.connected_components(with_flag)
+        "cca_converged": cca_converged,
     }
 
 
@@ -335,6 +338,7 @@ def full_prediction(image: np.ndarray, depth: np.ndarray, meta: Dict,
         quats = np.asarray(out["quats"])
         positions = np.asarray(out["positions"])
 
+    cca_conv = np.asarray(out["cca_converged"])
     predictions = {}
     for i, cls in enumerate(models.classes):
         if found[i]:
@@ -343,7 +347,12 @@ def full_prediction(image: np.ndarray, depth: np.ndarray, meta: Dict,
                 "position": positions[i],
                 "rotation": quats[i],
             }
-    out_dict = {"predictions": predictions}
+    out_dict = {"predictions": predictions,
+                # per-class CCA sweep-budget convergence (all-True on
+                # tabletop scenes; False flags a serpentine component the
+                # fixed sweep count could not fully label)
+                "cca_converged": {cls: bool(cca_conv[i])
+                                  for i, cls in enumerate(models.classes)}}
     if color_prediction:
         from . import visualize as viz
         from ..main import COLOR_DICT

@@ -180,9 +180,10 @@ def _surfaces_batched_jit(labels, depths, intrs, robot2cams, min_friends,
         cam = proj.pixels_to_points(rr, cc, z, intr)
         robot = cam @ r2c[:3, :3].T + r2c[:3, 3]
         pts, v = pc.voxel_downsample(robot, valid, voxel_size)
+        k = jnp.sum(v.astype(jnp.int32))  # true voxel count, pre-slice
         pts, v = pts[:cap], v[:cap]
         v = _clean_chain(pts, v, min_friends, min_dist, nb_neighbors)
-        return jnp.where(v[:, None], pts, 0.0), v
+        return jnp.where(v[:, None], pts, 0.0), v, k
 
     return jax.vmap(one)(labels, depths, intrs, robot2cams)
 
@@ -226,14 +227,29 @@ def get_surfaces_batched(labels: Sequence[np.ndarray],
         shard = NamedSharding(mesh, P("data"))
         lab, dep, ivec, r2c = (jax.device_put(x, shard)
                                for x in (lab, dep, ivec, r2c))
-    pts, val = _surfaces_batched_jit(
+    pts, val, ks = _surfaces_batched_jit(
         jnp.asarray(lab), jnp.asarray(dep), jnp.asarray(ivec),
         jnp.asarray(r2c), min_friends=int(min_friends),
         min_dist=jnp.float32(min_dist), nb_neighbors=int(nb_neighbors),
         voxel_size=jnp.float32(voxel_size), cap=cap)
     pts = np.asarray(pts)
     val = np.asarray(val)
-    return [pc.compact(pts[i], val[i]) for i in range(v)]
+    ks = np.asarray(ks)
+    out = []
+    for i in range(v):
+        if ks[i] > cap:
+            # the static slice would drop a CONTIGUOUS high-voxel-id region
+            # (the downsample orders by voxel id) — recompute this view
+            # exactly on the per-view path instead of truncating silently
+            out.append(get_surface(np.asarray(labels[i]),
+                                   np.asarray(depths[i]),
+                                   {"fx": ivec[i][0], "fy": ivec[i][1],
+                                    "ppx": ivec[i][2], "ppy": ivec[i][3]},
+                                   r2c[i], min_friends, min_dist,
+                                   nb_neighbors, voxel_size))
+        else:
+            out.append(pc.compact(pts[i], val[i]))
+    return out
 
 
 def _icp_merge(target_np: np.ndarray, source_np: np.ndarray,
@@ -292,26 +308,32 @@ def get_surface_positions(root: str, object_name: str, run: str,
     With `mesh`, all views run as one batched graph sharded over 'data'."""
     label_root = os.path.join(io.label_dir(root), object_name, run)
     data_root = os.path.join(io.data_dir(root), object_name, run)
-    labels, depths, intrs, r2cs = [], [], [], []
-    for fn in sorted(os.listdir(label_root)):
-        if not fn.endswith(f".{mode}.label.png"):
-            continue
+
+    def read_view(fn):
         stem = fn[: -len(f".{mode}.label.png")]
         meta = io.read_sample_meta(os.path.join(data_root,
                                                 stem + ".meta.json"))
-        r2cs.append(io.robot2cam_from_meta(meta))
-        depths.append(io.read_depth(os.path.join(
-            data_root, stem + ".depth.png")).astype(np.float64))
-        labels.append(io.read_label(os.path.join(label_root, fn)))
-        intrs.append(meta["intr"])
+        return (io.read_label(os.path.join(label_root, fn)),
+                io.read_depth(os.path.join(
+                    data_root, stem + ".depth.png")).astype(np.float64),
+                meta["intr"], io.robot2cam_from_meta(meta))
+
+    fns = [fn for fn in sorted(os.listdir(label_root))
+           if fn.endswith(f".{mode}.label.png")]
     if mesh is not None:
-        surfaces = get_surfaces_batched(labels, depths, intrs, r2cs,
-                                        min_friends, min_dist, nb_neighbors,
-                                        voxel_size, mesh=mesh)
-    else:
-        surfaces = [get_surface(lb, dp, it, rc, min_friends, min_dist,
-                                nb_neighbors, voxel_size)
-                    for lb, dp, it, rc in zip(labels, depths, intrs, r2cs)]
+        views = [read_view(fn) for fn in fns]
+        surfaces = get_surfaces_batched(
+            [v[0] for v in views], [v[1] for v in views],
+            [v[2] for v in views], [v[3] for v in views],
+            min_friends, min_dist, nb_neighbors, voxel_size, mesh=mesh)
+        r2cs = [v[3] for v in views]
+    else:  # streaming: one view in memory at a time
+        surfaces, r2cs = [], []
+        for fn in fns:
+            label, depth, intr, r2c = read_view(fn)
+            surfaces.append(get_surface(label, depth, intr, r2c, min_friends,
+                                        min_dist, nb_neighbors, voxel_size))
+            r2cs.append(r2c)
     positions = [[s.mean(axis=0), rc[:3, 3]]
                  for s, rc in zip(surfaces, r2cs) if len(s)]
     return np.asarray(positions)
@@ -348,33 +370,37 @@ def load_point_cloud(object_name: str, save_dir: str, root: str,
         take = min(n_viewpoints, n)
         idx_selection = get_view_distribution(data_path, run, n, take)
 
-        view_labels, view_depths, view_intrs, view_r2cs = [], [], [], []
-        rotation = np.eye(3)
-        for idx in idx_selection:
+        def read_view(idx):
             meta = io.read_sample_meta(
                 os.path.join(data_path, run, f"{idx:06d}.meta.json"))
-            view_r2cs.append(io.robot2cam_from_meta(meta))
-            rotation = np.asarray(meta["object_pose"])[:3, :3]
-            view_depths.append(io.read_depth(os.path.join(
-                data_path, run, f"{idx:06d}.depth.png")).astype(np.float64))
-            view_labels.append(io.read_label(os.path.join(
-                label_root, run, f"{idx:06d}.{mode}.label.png")))
-            view_intrs.append(meta["intr"])
+            label = io.read_label(os.path.join(
+                label_root, run, f"{idx:06d}.{mode}.label.png"))
+            depth = io.read_depth(os.path.join(
+                data_path, run, f"{idx:06d}.depth.png")).astype(np.float64)
+            return (label, depth, meta["intr"],
+                    io.robot2cam_from_meta(meta),
+                    np.asarray(meta["object_pose"])[:3, :3])
+
+        rotation = np.eye(3)
         if mesh is not None:  # view-sharded: all surfaces in one device call
+            views = [read_view(idx) for idx in idx_selection]
+            if views:
+                rotation = views[-1][4]
             surfaces = get_surfaces_batched(
-                view_labels, view_depths, view_intrs, view_r2cs,
+                [v[0] for v in views], [v[1] for v in views],
+                [v[2] for v in views], [v[3] for v in views],
                 min_friends, min_dist, nb_neighbors, voxel_size, mesh=mesh)
         else:
             surfaces = None
 
         merged: Optional[np.ndarray] = None
         for view_i, idx in enumerate(idx_selection):
-            source = (surfaces[view_i] if surfaces is not None
-                      else get_surface(view_labels[view_i],
-                                       view_depths[view_i],
-                                       view_intrs[view_i], view_r2cs[view_i],
-                                       min_friends, min_dist, nb_neighbors,
-                                       voxel_size))
+            if surfaces is not None:
+                source = surfaces[view_i]
+            else:  # streaming path: one view in memory at a time
+                label, depth, intr, r2c, rotation = read_view(idx)
+                source = get_surface(label, depth, intr, r2c, min_friends,
+                                     min_dist, nb_neighbors, voxel_size)
             if len(source) == 0:
                 continue
             if merged is None:

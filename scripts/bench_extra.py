@@ -264,13 +264,19 @@ def trained_serving_line(demo_root="/tmp/autopose_demo"):
     else:
         refine_vars = None
         refine_note = "refine ckpt absent (interrupted demo run) — identity-init refiner"
+    # geometry MUST match what the checkpoints were trained/served with —
+    # single source of truth in the demo script
+    from scripts.train_synthetic_demo import (DEMO_CROP, DEMO_IMG_HW,
+                                              DEMO_NUM_PT)
+
     cloud = io.read_xyz(os.path.join(io.pc_dir(demo_root), "ball",
                                      "ball.xyz")) / 1000.0
-    idx = np.arange(500) % len(cloud)
+    idx = np.arange(DEMO_NUM_PT) % len(cloud)
     models = predict.build_models(
         1, cloud[idx][None], ("ball",), seg_vars=seg_vars,
-        pose_vars=pose_vars, refine_vars=refine_vars, num_points=500,
-        crop=128, refine_iters=2, dtype=jnp.bfloat16, img_hw=(256, 320))
+        pose_vars=pose_vars, refine_vars=refine_vars, num_points=DEMO_NUM_PT,
+        crop=DEMO_CROP, refine_iters=2, dtype=jnp.bfloat16,
+        img_hw=DEMO_IMG_HW)
     ds_dir = io.dataset_dir(demo_root, "pose_estimation", "synth")
     stem = io.read_lines(os.path.join(ds_dir, "test_data_list.txt"))[0]
     image = jnp.asarray(io.read_color(os.path.join(io.data_dir(demo_root),

@@ -94,7 +94,7 @@ def serving_section():
     def prefix_cca(c, i):
         probs, pred_arg = predict._segment(models.seg_model, models.seg_vars,
                                            image_d + c)
-        masks, found = jax.vmap(
+        masks, found, _cv = jax.vmap(
             lambda sp, cl: predict._class_mask(sp, pred_arg, cl,
                                                cca_scale=cca_scale,
                                                cca_sweeps=cca_sweeps))(
@@ -104,7 +104,7 @@ def serving_section():
     def make_perclass(c, i, with_pose):
         probs, pred_arg = predict._segment(models.seg_model, models.seg_vars,
                                            image_d + c)
-        masks, found = jax.vmap(
+        masks, found, _cv = jax.vmap(
             lambda sp, cl: predict._class_mask(sp, pred_arg, cl,
                                                cca_scale=cca_scale,
                                                cca_sweeps=cca_sweeps))(

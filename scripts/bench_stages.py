@@ -77,7 +77,7 @@ def main():
     probs, pred_arg = predict._segment(models.seg_model, models.seg_vars,
                                        image_d)
     cls_ids = jnp.arange(1, num_classes + 1, dtype=jnp.int32)
-    masks, found = jax.vmap(
+    masks, found, _cv = jax.vmap(
         lambda sp, c: predict._class_mask(sp, pred_arg, c))(
         jnp.transpose(probs, (2, 0, 1))[1:num_classes + 1], cls_ids)
     masks = jax.block_until_ready(masks)
@@ -92,7 +92,7 @@ def main():
     # --- stage 2: per-class CCA (vmapped best component) ----------------
     def cca_step(c, i):
         pa = pred_arg + c
-        m, f = jax.vmap(
+        m, f, _cv = jax.vmap(
             lambda sp, cl: predict._class_mask(sp, pa, cl))(
             jnp.transpose(probs, (2, 0, 1))[1:num_classes + 1], cls_ids)
         return (m.sum() * 0).astype(jnp.int32), f
@@ -100,7 +100,7 @@ def main():
 
     def cca_step4(c, i):
         pa = pred_arg + c
-        m, f = jax.vmap(
+        m, f, _cv = jax.vmap(
             lambda sp, cl: predict._class_mask(sp, pa, cl,
                                                cca_scale=4))(
             jnp.transpose(probs, (2, 0, 1))[1:num_classes + 1], cls_ids)
@@ -109,7 +109,7 @@ def main():
 
     # --- stage 2b: single-class CCA -------------------------------------
     def cca1_step(c, i):
-        m, f = predict._class_mask(probs[..., 1], pred_arg + c, jnp.int32(1))
+        m, f, _cv = predict._class_mask(probs[..., 1], pred_arg + c, jnp.int32(1))
         return (m.sum() * 0).astype(jnp.int32), f
     emit("cca_1class", scan_time(cca1_step, jnp.int32(0)))
 

@@ -223,3 +223,40 @@ def test_pooled_merge_below_bound_is_superset():
     # the class mask), not background
     assert (np.asarray(exact) & ~got).sum() == 0
     assert (got & ~mask).sum() == 0
+
+
+def test_convergence_flag():
+    """with_flag: a fixed sweep budget too small for the component geometry
+    must report converged=False (the cheap neighborhood check is exact);
+    ample budgets and the while_loop path report True."""
+    # spiral-ish snake: needs several sweeps
+    mask = np.zeros((40, 40), bool)
+    mask[0, :] = True
+    mask[:, -1] = True
+    mask[-1, :] = True
+    mask[10, :30] = True
+    mask[10:30, 0] = True
+    m = jnp.asarray(mask)
+
+    lbl1, conv1 = cca.connected_components(m, 8, fixed_sweeps=1,
+                                           with_flag=True)
+    assert not bool(conv1)
+    lbl9, conv9 = cca.connected_components(m, 8, fixed_sweeps=9,
+                                           with_flag=True)
+    assert bool(conv9)
+    lblw, convw = cca.connected_components(m, 8, with_flag=True)
+    assert bool(convw)
+    np.testing.assert_array_equal(np.asarray(lbl9), np.asarray(lblw))
+
+    # convex blob: one sweep suffices
+    blob = np.zeros((32, 32), bool)
+    blob[8:20, 8:24] = True
+    _, cb = cca.connected_components(jnp.asarray(blob), 8, fixed_sweeps=1,
+                                     with_flag=True)
+    assert bool(cb)
+
+    # flag threads through best_component_mask (pooled serving config)
+    score = jnp.where(m, 0.7, 0.0)
+    comp, found, conv = cca.best_component_mask(
+        m, score, rule="mean_float", scale=2, fixed_sweeps=2, with_flag=True)
+    assert conv.shape == ()

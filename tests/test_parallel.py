@@ -235,3 +235,22 @@ def test_reconstruction_surfaces_view_sharded():
         # same voxel-id ordering on both paths -> directly comparable
         np.testing.assert_allclose(bat, ref, atol=1e-2)
         np.testing.assert_allclose(sh, bat, atol=1e-2)
+
+
+def test_surfaces_batched_cap_overflow_falls_back_exact():
+    """A view whose voxel count exceeds `cap` must NOT be silently
+    truncated (the slice would drop a contiguous voxel-id region) — the
+    wrapper recomputes that view on the exact per-view path."""
+    from autoposeestimation_tpu.reconstruction import create_pointcloud as rec
+
+    h, w = 64, 80
+    intr = {"fx": 70.0, "fy": 70.0, "ppx": w / 2.0, "ppy": h / 2.0}
+    yy, xx = np.mgrid[0:h, 0:w]
+    disk = (yy - 32) ** 2 + (xx - 40) ** 2 < 20 ** 2
+    depth = np.where(disk, 500.0 + 5.0 * np.sin(yy * 0.3), 0.0)
+    kw = dict(min_friends=5, min_dist=8.0, nb_neighbors=5, voxel_size=3.0)
+    ref = rec.get_surface(disk.astype(np.int32), depth, intr, np.eye(4), **kw)
+    assert len(ref) > 64  # voxel count genuinely exceeds the tiny cap
+    got = rec.get_surfaces_batched([disk.astype(np.int32)], [depth], intr,
+                                   [np.eye(4)], cap=64, **kw)[0]
+    np.testing.assert_allclose(got, ref, atol=1e-5)

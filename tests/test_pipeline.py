@@ -39,9 +39,11 @@ def test_full_prediction_contract(models):
     image, depth, meta = scene()
     out = predict.full_prediction(image, depth, meta, models,
                                   key=jax.random.PRNGKey(0))
-    assert set(out.keys()) == {"predictions", "elapsed_times"}
+    assert set(out.keys()) == {"predictions", "elapsed_times",
+                               "cca_converged"}
     for k in ("segmentation", "pose_estimation", "total"):
         assert k in out["elapsed_times"]
+    assert set(out["cca_converged"]) == {"mug", "box"}
     for cls, p in out["predictions"].items():
         assert cls in ("mug", "box")
         assert p["mask"].shape == (H, W)
