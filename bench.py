@@ -23,7 +23,37 @@ from autoposeestimation_tpu.utils.flops import GRAPH_CONFIGS
 _CONFIG = GRAPH_CONFIGS["serving_graph"]
 
 
+def _wait_for_tpu(max_wait_s: float = 600.0) -> bool:
+    """The tunneled TPU occasionally wedges (tiny ops hang for many minutes;
+    CLAUDE.md). Probe with a tiny matmul in a SUBPROCESS — a hung probe can
+    be killed, unlike an in-process hung dispatch — and wait briefly for
+    recovery before this process commits its own TPU client to the run."""
+    import subprocess
+
+    code = ("import jax, jax.numpy as jnp;"
+            "(jnp.ones((128, 128)) @ jnp.ones((128, 128)))"
+            ".block_until_ready(); print('probe-ok')")
+    deadline = time.time() + max_wait_s
+    while True:
+        try:
+            r = subprocess.run([sys.executable, "-c", code], timeout=150,
+                               capture_output=True, text=True)
+            if "probe-ok" in r.stdout:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() > deadline:
+            print("warning: device probe still failing after "
+                  f"{max_wait_s:.0f}s (wedged tunnel?); proceeding anyway",
+                  file=sys.stderr)
+            return False
+        print("device probe failed; waiting for the tunnel to recover...",
+              file=sys.stderr)
+        time.sleep(60)
+
+
 def main():
+    _wait_for_tpu()
     from autoposeestimation_tpu.pipeline import predict
 
     num_classes = _CONFIG["num_classes"]
