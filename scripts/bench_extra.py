@@ -212,6 +212,28 @@ def main():
     emit_mfu("full_prediction_batched8_mfu_pct", "serving_graph", dt,
              scale=8.0)
 
+    # --- emb_stride=8 opt-in serving (stride-8 PSPNet embedding + bilinear
+    # gather of the chosen pixels, DESIGN.md round-3) — recorded next to the
+    # exact-default headline so the opt-in's speed side of the tradeoff
+    # stays measured; its accuracy side is gated in the demo A/B
+    models_s8 = predict.build_models(
+        num_classes, rng.normal(size=(num_classes, 1000, 3)).astype(
+            np.float32) * 0.05,
+        tuple(f"o{i}" for i in range(num_classes)), num_points=1000,
+        crop=320, refine_iters=2, dtype=jnp.bfloat16, img_hw=(480, 640),
+        emb_stride=8)
+    static_s8 = predict.static_tuple(models_s8)
+    image1, depth1 = images[0], depths[0]
+
+    def single_s8(k):
+        return predict._full_prediction_jit(
+            models_s8.seg_vars, models_s8.pose_vars, models_s8.refine_vars,
+            image1, depth1, intr2, jnp.float32(0.001), k, static_s8)
+
+    dt = timeit(single_s8, jax.random.PRNGKey(0), n=30, chain=chain_key)
+    emit("full_prediction_fps_640x480_5obj_embstride8", 1.0 / dt,
+         "frames/sec", 30.0)
+
     # --- classical label generation -------------------------------------
     bg_rgb = jnp.asarray(rng.integers(0, 255, (480, 640, 3)), jnp.float32)
     fg_rgb = jnp.asarray(rng.integers(0, 255, (480, 640, 3)), jnp.float32)
