@@ -123,7 +123,8 @@ class YCBPoseDataset:
         obj = int(cls_indexes[pick])
         mask = label == obj
         out = _choose_and_backproject(depth, mask, intr,
-                                      float(meta["factor_depth"]),
+                                      float(np.asarray(
+                                          meta["factor_depth"]).reshape(-1)[0]),
                                       self.num_pt, self.crop, self.rng)
         if out is None:
             return None

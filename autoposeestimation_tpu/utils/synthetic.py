@@ -145,6 +145,31 @@ def render(cfg: SynthConfig, robot2cam: np.ndarray,
     return (color.astype(np.uint8), zdepth, owner)
 
 
+def headline_scene(num_classes: int = 5, img_hw: Tuple[int, int] = (480, 640),
+                   model_pts: int = 1000):
+    """The headline benchmark's exact 5-object tabletop scene.
+
+    Single source of truth shared by bench.py, scripts/train_bench_seg.py and
+    scripts/bench_extra.py — the RNG draw ORDER (model points first, then
+    sphere colors) is part of the contract: it reproduces the identical frame
+    the headline has always measured. Returns (cfg, spheres, model_points).
+    """
+    rng = np.random.default_rng(0)
+    model_points = rng.normal(
+        size=(num_classes, model_pts, 3)).astype(np.float32) * 0.05
+    cfg = SynthConfig(img_h=img_hw[0], img_w=img_hw[1], fx=600.0, fy=600.0,
+                      ring_radius=500.0, ring_height=450.0)
+    spheres = [
+        SphereObject(f"obj{i}",
+                     np.asarray([120.0 * np.cos(a), 120.0 * np.sin(a), 40.0]),
+                     45.0,
+                     tuple(int(v) for v in rng.integers(60, 255, 3)))
+        for i, a in enumerate(np.linspace(0, 2 * np.pi, num_classes,
+                                          endpoint=False))
+    ]
+    return cfg, spheres, model_points
+
+
 def sphere_model_points(radius: float, n: int = 500, seed: int = 0) -> np.ndarray:
     """Fibonacci-sphere surface samples (mm, centered)."""
     i = np.arange(n) + 0.5

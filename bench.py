@@ -62,8 +62,15 @@ def main():
     h, w = _CONFIG["h"], _CONFIG["w"]
     refine_iters = _CONFIG["refine_iters"]
 
-    rng = np.random.default_rng(0)
-    model_points = rng.normal(size=(num_classes, 1000, 3)).astype(np.float32) * 0.05
+    # a structured 5-object tabletop frame (ray-traced) so the per-class CCA,
+    # choose and crop stages do representative work — noise frames make CCA
+    # degenerate. Scene single-sourced in utils/synthetic.headline_scene
+    # (scripts/train_bench_seg.py fits the seg net on this exact scene for
+    # the trained-masks confirmation line in scripts/bench_extra.py).
+    from autoposeestimation_tpu.utils import synthetic
+
+    cfg, spheres, model_points = synthetic.headline_scene(
+        num_classes=num_classes, img_hw=(h, w))
     models = predict.build_models(
         num_classes_fg=num_classes, model_points=model_points,
         classes=tuple(f"obj{i}" for i in range(num_classes)),
@@ -72,22 +79,6 @@ def main():
 
     static = predict.static_tuple(models)
 
-    # a structured 5-object tabletop frame (ray-traced) so the per-class CCA,
-    # choose and crop stages do representative work — noise frames make CCA
-    # degenerate
-    from autoposeestimation_tpu.utils import synthetic
-
-    cfg = synthetic.SynthConfig(img_h=h, img_w=w, fx=600.0, fy=600.0,
-                                ring_radius=500.0, ring_height=450.0)
-    spheres = [
-        synthetic.SphereObject(f"obj{i}",
-                               np.asarray([120.0 * np.cos(a), 120.0 * np.sin(a),
-                                           40.0]),
-                               45.0, tuple(int(v) for v in
-                                           rng.integers(60, 255, 3)))
-        for i, a in enumerate(np.linspace(0, 2 * np.pi, num_classes,
-                                          endpoint=False))
-    ]
     cam = synthetic.ring_cameras(cfg, np.zeros(3))[0]
     image, depth, _ = synthetic.render(cfg, cam, spheres)
     depth = depth.astype(np.float32)
