@@ -115,19 +115,25 @@ def test_batched_full_prediction(synth_root):
     assert out["masks"].shape == (3, 2, h, w)
 
 
-def test_demo_round3_operating_regime():
-    """Regression pin on the round-3 demo artifact (r2 VERDICT task 3): in
+@pytest.mark.parametrize("artifact", ["demo_results_round3.json",
+                                      "demo_results_round3_fullrun.json",
+                                      "demo_results_round3_headrun.json"])
+def test_demo_round3_operating_regime(artifact):
+    """Regression pin on the round-3 demo artifacts (r2 VERDICT task 3): in
     the reference's operating regime the trained refiner must improve BOTH
     ADD and translation error, serving must run with refine enabled, and
     overall ADD<2cm success must be >= 90%
-    (/root/reference/experiments/eval.py:80-99 semantics). Skips when the
-    demo artifact hasn't been produced in this checkout."""
+    (/root/reference/experiments/eval.py:80-99 semantics). The `headrun`
+    artifact (one uninterrupted run at round-3 HEAD) additionally pins that
+    BOTH the lr/w decay and the refine-phase switch fired BY MARGIN
+    (train.py:41-42 margins reached, not the epoch/schedule fallback).
+    Skips artifacts not produced in this checkout."""
     import json
 
     path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "artifacts", "demo_results_round3.json")
+        os.path.abspath(__file__))), "artifacts", artifact)
     if not os.path.exists(path):
-        pytest.skip("demo_results_round3.json not present")
+        pytest.skip(f"{artifact} not present")
     with open(path) as f:
         res = json.load(f)
     ev = res["eval"]
@@ -138,3 +144,7 @@ def test_demo_round3_operating_regime():
     assert ev["use_refine"] is True
     # `p` is a percentage (experiments/eval.py `p = 100 * <2cm / n`)
     assert ref["p"] >= 90.0, ref["p"]
+    if artifact.endswith("headrun.json"):
+        tr = res["pose_training"]["transitions"]
+        assert tr["decay"]["trigger"] == "margin", tr
+        assert tr["refine"]["trigger"] == "margin", tr
