@@ -177,9 +177,13 @@ def _full_prediction_jit(seg_vars, pose_vars, refine_vars,
 def _full_prediction_batched_jit(seg_vars, pose_vars, refine_vars, images,
                                  depths, intr, depth_scale, key,
                                  models_static):
-    """Throughput mode: vmap the whole fused frame graph over a batch of
-    frames (B, H, W, ...) — saturates the MXU when serving recorded streams
-    or multi-camera rigs. Same outputs with a leading batch axis."""
+    """Batch mode: vmap the whole fused frame graph over a batch of frames
+    (B, H, W, ...) — same outputs with a leading batch axis. Measured
+    honestly (scan-serialized, scripts/bench_extra.py) this is LOWER
+    per-frame throughput than the single-frame graph on one chip (~34 vs
+    ~17 ms/frame at 640x480: vmapping the latency-bound CCA/gather stages
+    degrades their layouts) — its purpose is multi-chip serving, where
+    dryrun_multichip shards the batch axis over the mesh 'data' axis."""
     b = images.shape[0]
     keys = jax.random.split(key, b)
     return jax.vmap(

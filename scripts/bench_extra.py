@@ -43,6 +43,35 @@ def timeit(f, *args, n=20, chain=None):
     return (time.perf_counter() - t0) / n
 
 
+def scan_seconds(step_fn, iters=30, trials=3):
+    """Seconds/iteration of `step_fn(key) -> array`, measured as ONE jitted
+    lax.scan whose per-iteration key depends on the previous output, ending
+    in a host readback — the bench.py headline method. (An earlier version
+    of the serving-mode lines chained dispatches with EAGER jnp ops between
+    them; through the tunnel each eager op costs a full ~50-170 ms RPC, so
+    those lines measured tunnel latency, not device throughput.)"""
+
+    @jax.jit
+    def run_many(keys):
+        def step(carry, k):
+            out = step_fn(k + carry)
+            c2 = jnp.broadcast_to(
+                (jnp.abs(out).sum() * 0).astype(jnp.uint32), (2,))
+            return c2, out.reshape(-1)[:2]
+        _, outs = jax.lax.scan(step, jnp.zeros((2,), jnp.uint32), keys)
+        return outs
+
+    keys = jax.vmap(lambda i: jax.random.fold_in(
+        jax.random.PRNGKey(0), i))(jnp.arange(iters, dtype=jnp.uint32))
+    _ = np.asarray(run_many(keys))  # compile + readback
+    ts = []
+    for _t in range(trials):
+        t0 = time.perf_counter()
+        _ = np.asarray(run_many(keys))
+        ts.append((time.perf_counter() - t0) / iters)
+    return sorted(ts)[trials // 2]
+
+
 def emit(metric, value, unit, baseline=None):
     entry = {"metric": metric, "value": round(value, 3), "unit": unit}
     if baseline:
@@ -90,8 +119,11 @@ def main():
     seg = unet.UNet(classes=6, dtype=jnp.bfloat16)
     x = jnp.asarray(rng.normal(size=(1, 480, 640, 3)), jnp.float32)
     seg_vars = seg.init(jax.random.PRNGKey(0), x)
-    seg_fwd = jax.jit(lambda v, xx: seg.apply(v, xx))
-    dt = timeit(seg_fwd, seg_vars, x)
+    def seg_step(k):
+        x2 = x + (k.sum() * 0).astype(x.dtype)
+        return seg.apply(seg_vars, x2).astype(jnp.float32)
+
+    dt = scan_seconds(seg_step)
     emit("unet_segmentation_fps_640x480", 1.0 / dt, "frames/sec", 30.0)
 
     # --- segmentation training step --------------------------------------
@@ -198,15 +230,12 @@ def main():
     intr2 = jnp.asarray([600.0, 600.0, 320.0, 240.0], jnp.float32)
 
     def batched(k):
-        return predict._full_prediction_batched_jit(
+        out = predict._full_prediction_batched_jit(
             models.seg_vars, models.pose_vars, models.refine_vars,
             images, depths, intr2, jnp.float32(0.001), k, static2)
+        return out["positions"]
 
-    def chain_key(out, i):
-        carry = (jnp.abs(out["positions"]).sum() * 0).astype(jnp.uint32)
-        return (jax.random.fold_in(jax.random.PRNGKey(0), i) + carry,)
-
-    dt = timeit(batched, jax.random.PRNGKey(0), n=10, chain=chain_key)
+    dt = scan_seconds(batched, iters=10)
     emit("full_prediction_batched8_fps_640x480", 8.0 / dt, "frames/sec", 30.0)
     # batched x8 graph = 8 identical per-frame graphs under vmap
     emit_mfu("full_prediction_batched8_mfu_pct", "serving_graph", dt,
@@ -226,11 +255,12 @@ def main():
     image1, depth1 = images[0], depths[0]
 
     def single_s8(k):
-        return predict._full_prediction_jit(
+        out = predict._full_prediction_jit(
             models_s8.seg_vars, models_s8.pose_vars, models_s8.refine_vars,
             image1, depth1, intr2, jnp.float32(0.001), k, static_s8)
+        return out["positions"]
 
-    dt = timeit(single_s8, jax.random.PRNGKey(0), n=30, chain=chain_key)
+    dt = scan_seconds(single_s8)
     emit("full_prediction_fps_640x480_5obj_embstride8", 1.0 / dt,
          "frames/sec", 30.0)
 
