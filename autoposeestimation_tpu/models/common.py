@@ -42,6 +42,13 @@ def resize_bilinear(x, out_hw: Tuple[int, int], align_corners: bool = False):
     oh, ow = out_hw
     r0, r1, wr0, wr1 = _interp_1d_weights(oh, h, align_corners)
     c0, c1, wc0, wc1 = _interp_1d_weights(ow, w, align_corners)
+    # keep the compute dtype of the input: f32 weights on bf16 features
+    # would promote every intermediate to f32 — at the PSP decoder's 320^2
+    # maps that doubles HBM traffic for lerp weights the following bf16
+    # conv rounds away anyway. f32 inputs keep the exact f32 path.
+    if jnp.issubdtype(x.dtype, jnp.floating):
+        wr0, wr1 = wr0.astype(x.dtype), wr1.astype(x.dtype)
+        wc0, wc1 = wc0.astype(x.dtype), wc1.astype(x.dtype)
     xr = (jnp.take(x, r0, axis=-3) * wr0[:, None, None]
           + jnp.take(x, r1, axis=-3) * wr1[:, None, None])
     out = (jnp.take(xr, c0, axis=-2) * wc0[:, None]

@@ -57,8 +57,14 @@ class PSPUpsample(nn.Module):
             x = resize_bilinear(x, (2 * h, 2 * w), align_corners=True)
         x = nn.Conv(self.features, (3, 3), padding=1, dtype=self.dtype)(
             x.astype(self.dtype))
-        # PReLU with a single shared slope (torch nn.PReLU() default)
-        return nn.PReLU()(x.astype(jnp.float32)).astype(self.dtype)
+        # PReLU with a single shared slope, computed in the stage dtype
+        # (flax casts the f32 slope param to the input dtype; the previous
+        # .astype(f32) wrapper round-tripped the full-res map through f32 —
+        # pure HBM traffic in bf16 mode). Init 0.25 = torch nn.PReLU()
+        # (flax's default is 0.01 — an init-parity bug fixed here;
+        # checkpoint/torch-import compatibility is unaffected, the param
+        # name and shape are unchanged).
+        return nn.PReLU(negative_slope_init=0.25)(x)
 
 
 class PSPNet(nn.Module):

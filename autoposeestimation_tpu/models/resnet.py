@@ -29,18 +29,18 @@ class BasicBlockBN(nn.Module):
         y = nn.Conv(self.features, (3, 3), strides=(self.stride, self.stride),
                     padding=1, use_bias=False, dtype=self.dtype)(x)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         dtype=jnp.float32)(y)
+                         dtype=self.dtype)(y)
         y = nn.relu(y)
         y = nn.Conv(self.features, (3, 3), padding=1, use_bias=False,
                     dtype=self.dtype)(y)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         dtype=jnp.float32)(y)
+                         dtype=self.dtype)(y)
         if residual.shape != y.shape:
             residual = nn.Conv(self.features, (1, 1),
                                strides=(self.stride, self.stride),
                                use_bias=False, dtype=self.dtype)(x)
             residual = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                    dtype=jnp.float32)(residual)
+                                    dtype=self.dtype)(residual)
         return nn.relu(y + residual)
 
 
@@ -58,7 +58,7 @@ class ResNetEncoder(nn.Module):
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
                     dtype=self.dtype)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         dtype=jnp.float32)(x)
+                         dtype=self.dtype)(x)
         x = nn.relu(x)
         feats.append(x)  # /2, 64ch
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))

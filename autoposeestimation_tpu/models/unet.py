@@ -35,8 +35,12 @@ class DecoderBlock(nn.Module):
         for _ in range(2):
             x = nn.Conv(self.features, (3, 3), padding=1, use_bias=False,
                         dtype=self.dtype)(x)
+            # BN compute dtype follows the block dtype (flax computes the
+            # batch statistics in f32 internally either way; dtype=f32 here
+            # round-tripped every full-res decoder map through f32 — pure
+            # HBM traffic in bf16 mode, bit-identical in f32 builds)
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             dtype=jnp.float32)(x)
+                             dtype=self.dtype)(x)
             x = nn.relu(x)
         return x
 
