@@ -27,6 +27,21 @@ def test_unet_7channel_binary():
 
 
 @pytest.mark.slow
+def test_pspnet_prelu_init_matches_torch_default():
+    # torch nn.PReLU() initializes the shared slope to 0.25; flax's
+    # nn.PReLU default is 0.01 — the model must override it so a fresh
+    # (non-imported) PSPNet matches the reference's init distribution.
+    model = pspnet.PSPNet(dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 80, 80, 3)))
+    flat = jax.tree_util.tree_leaves_with_path(params["params"])
+    slopes = [np.asarray(v) for path, v in flat
+              if any(getattr(p, "key", "") == "negative_slope"
+                     for p in path)]
+    assert len(slopes) >= 3  # PSPUpsample blocks + final stages
+    for s in slopes:
+        np.testing.assert_allclose(s, 0.25)
+
+
 def test_pspnet_output_is_logsoftmax_embedding():
     model = pspnet.PSPNet(dtype=jnp.float32)
     x = jnp.zeros((1, 80, 80, 3))
