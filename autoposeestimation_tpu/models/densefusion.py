@@ -113,8 +113,10 @@ class PoseNet(nn.Module):
 
     num_obj: int
     dtype: Dtype = jnp.bfloat16
-    # output stride of the PSPNet embedding decoder (1 = reference-exact;
-    # 8 cuts the decoder convs ~7x with bilinear gather — see pspnet.PSPNet)
+    # output stride of the PSPNet embedding decoder (1 = reference-exact,
+    # the module and trainer default; 8 cuts the decoder convs ~7x with
+    # bilinear gather and is the SERVING default via pipeline/predict.
+    # build_models — see pspnet.PSPNet for the promotion evidence)
     emb_stride: int = 1
 
     @nn.compact

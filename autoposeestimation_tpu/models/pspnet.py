@@ -78,9 +78,13 @@ class PSPNet(nn.Module):
     the three upsample convs shrink from 80^2/160^2/320^2 to 40^2 lattices,
     cutting the serving graph's largest FLOP block ~2x; consumers
     bilinearly interpolate the ~1000 chosen pixels (densefusion.
-    gather_embeddings_bilinear). Opt-in via PredictionModels/build_models —
-    the accuracy gate vs the full-res path lives in the demo
-    (scripts/train_synthetic_demo.py emb_stride A/B)."""
+    gather_embeddings_bilinear). Stride 8 is the SERVING default
+    (PredictionModels/build_models; 68.8 -> 121.7 fps at the headline
+    geometry), gated by the trained-serving A/B in
+    scripts/train_synthetic_demo.py — position error within 2 mm of the
+    full-res path in all three round-3 demo artifacts. Training and the
+    torch-parity paths stay at the reference-exact stride 1 (this module's
+    default)."""
 
     embed_dim: int = 32
     dtype: Dtype = jnp.bfloat16

@@ -62,11 +62,16 @@ class PredictionModels(NamedTuple):
     # worst case instead of a convergence while_loop (speckle masks from an
     # untrained net otherwise run the loop to its 64-iteration cap)
     cca_sweeps: int = 3
-    # PSPNet embedding decoder output stride (models/pspnet.PSPNet): 1 =
-    # reference-exact full-res decoder; 8 halves the pose stage's FLOPs
-    # with bilinear gather of the chosen pixels. Weights are
+    # PSPNet embedding decoder output stride (models/pspnet.PSPNet).
+    # Serving default 8: the three decoder convs (80^2/160^2/320^2 lattices,
+    # ~250 of the frame's 530 GFLOP) run at 40^2 with bilinear gather of the
+    # chosen pixels — measured 68.8 -> 121.7 fps at the headline geometry.
+    # Promotion is evidence-gated (r2 VERDICT task 1c): the trained-serving
+    # A/B in scripts/train_synthetic_demo.py holds position error within
+    # 2 mm of the full-res path in all three round-3 demo artifacts.
+    # 1 = the reference-exact full-res decoder (opt-out). Weights are
     # stride-interchangeable (identical param tree).
-    emb_stride: int = 1
+    emb_stride: int = 8
 
 
 def static_tuple(models: "PredictionModels", refine_iters: Optional[int] = None):
@@ -244,7 +249,7 @@ def build_models(num_classes_fg: int, model_points: np.ndarray,
                  seed: int = 0, img_hw=(480, 640),
                  agg_topk: int = 1, cca_scale: int = 8,
                  cca_sweeps: int = 3,
-                 emb_stride: int = 1) -> PredictionModels:
+                 emb_stride: int = 8) -> PredictionModels:
     """Construct (or wrap loaded) model variables into a PredictionModels."""
     seg_model = unet.UNet(classes=num_classes_fg + 1, dtype=dtype)
     posenet = densefusion.PoseNet(num_obj=num_classes_fg, dtype=dtype,

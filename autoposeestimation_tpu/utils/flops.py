@@ -29,21 +29,25 @@ _CACHE = os.path.join(_REPO, "artifacts", "flops_cache.json")
 # name-only key silently served stale MFU numbers).
 GRAPH_CONFIGS = {
     "serving_graph": dict(num_classes=5, num_points=1000, crop=320, h=480,
-                          w=640, refine_iters=2),
+                          w=640, refine_iters=2, emb_stride=8),
+    "serving_graph_exact": dict(num_classes=5, num_points=1000, crop=320,
+                                h=480, w=640, refine_iters=2, emb_stride=1),
     "densefusion_train_step": dict(batch=8, n=1000, m=500, crop=320,
                                    num_obj=5),
 }
 
 
-def _build_serving_graph():
-    """The bench.py headline graph: fused full_prediction, 640x480, 5 obj."""
+def _build_serving_graph(name: str = "serving_graph"):
+    """The bench.py headline graph: fused full_prediction, 640x480, 5 obj.
+    `serving_graph_exact` is the same graph at the reference-exact
+    emb_stride=1 (bench_extra's exact-path line)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from ..pipeline import predict
 
-    cfg = GRAPH_CONFIGS["serving_graph"]
+    cfg = GRAPH_CONFIGS[name]
     rng = np.random.default_rng(0)
     model_points = rng.normal(
         size=(cfg["num_classes"], 1000, 3)).astype(np.float32) * 0.05
@@ -52,7 +56,7 @@ def _build_serving_graph():
         classes=tuple(f"obj{i}" for i in range(cfg["num_classes"])),
         num_points=cfg["num_points"], crop=cfg["crop"],
         refine_iters=cfg["refine_iters"], dtype=jnp.bfloat16,
-        img_hw=(cfg["h"], cfg["w"]))
+        img_hw=(cfg["h"], cfg["w"]), emb_stride=cfg["emb_stride"])
     static = predict.static_tuple(models)
     image = jnp.zeros((cfg["h"], cfg["w"], 3), jnp.uint8)
     depth = jnp.full((cfg["h"], cfg["w"]), 700.0, jnp.float32)
@@ -102,6 +106,8 @@ def _build_densefusion_train_step():
 
 _GRAPHS = {
     "serving_graph": _build_serving_graph,
+    "serving_graph_exact": lambda: _build_serving_graph(
+        "serving_graph_exact"),
     "densefusion_train_step": _build_densefusion_train_step,
 }
 

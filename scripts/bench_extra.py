@@ -241,28 +241,30 @@ def main():
     emit_mfu("full_prediction_batched8_mfu_pct", "serving_graph", dt,
              scale=8.0)
 
-    # --- emb_stride=8 opt-in serving (stride-8 PSPNet embedding + bilinear
-    # gather of the chosen pixels, DESIGN.md round-3) — recorded next to the
-    # exact-default headline so the opt-in's speed side of the tradeoff
-    # stays measured; its accuracy side is gated in the demo A/B
-    models_s8 = predict.build_models(
+    # --- reference-exact serving path (emb_stride=1 full-res PSPNet
+    # decoder) — the serving default is now the accuracy-gated stride-8
+    # decoder (pipeline/predict.PredictionModels), so this line keeps the
+    # exact path's speed measured alongside the headline
+    models_s1 = predict.build_models(
         num_classes, rng.normal(size=(num_classes, 1000, 3)).astype(
             np.float32) * 0.05,
         tuple(f"o{i}" for i in range(num_classes)), num_points=1000,
         crop=320, refine_iters=2, dtype=jnp.bfloat16, img_hw=(480, 640),
-        emb_stride=8)
-    static_s8 = predict.static_tuple(models_s8)
+        emb_stride=1)
+    static_s1 = predict.static_tuple(models_s1)
     image1, depth1 = images[0], depths[0]
 
-    def single_s8(k):
+    def single_s1(k):
         out = predict._full_prediction_jit(
-            models_s8.seg_vars, models_s8.pose_vars, models_s8.refine_vars,
-            image1, depth1, intr2, jnp.float32(0.001), k, static_s8)
+            models_s1.seg_vars, models_s1.pose_vars, models_s1.refine_vars,
+            image1, depth1, intr2, jnp.float32(0.001), k, static_s1)
         return out["positions"]
 
-    dt = scan_seconds(single_s8)
-    emit("full_prediction_fps_640x480_5obj_embstride8", 1.0 / dt,
+    dt = scan_seconds(single_s1)
+    emit("full_prediction_fps_640x480_5obj_embstride1_exact", 1.0 / dt,
          "frames/sec", 30.0)
+    emit_mfu("full_prediction_embstride1_exact_mfu_pct",
+             "serving_graph_exact", dt)
 
     # --- classical label generation -------------------------------------
     bg_rgb = jnp.asarray(rng.integers(0, 255, (480, 640, 3)), jnp.float32)

@@ -401,29 +401,33 @@ def main():
         attribution["multi_draw4_pos_err_mean_m"] = round(
             float(np.mean(es4)), 5)
 
-        # emb_stride=8 accuracy gate (r2 VERDICT task 1c): serve the SAME
-        # trained weights with the stride-8 PSPNet decoder; the option is
-        # enabled-by-evidence iff the position error stays within 2 mm of
-        # the full-res path
-        m8 = predict.build_models(
+        # emb_stride=8 accuracy gate (r2 VERDICT task 1c): the stride-8
+        # decoder is now the SERVING DEFAULT (pipeline/predict), so `models`
+        # above (and es1) already measure it; the gate re-serves the SAME
+        # trained weights through the reference-exact full-res decoder
+        # (emb_stride=1) and requires the default to stay within 2 mm of it
+        m_exact = predict.build_models(
             num_classes_fg=1, model_points=models.model_points,
             classes=("ball",), seg_vars=seg_out["variables"],
             pose_vars=state.pose_vars, refine_vars=state.refine_vars,
             num_points=num_pt, crop=crop,
             refine_iters=dcfg.iteration if use_refine else 0,
             dtype=jnp.bfloat16, img_hw=(demo_cfg.img_h, demo_cfg.img_w),
-            emb_stride=8)
-        es8 = []
+            emb_stride=1)
+        es_exact = []
         for f in found_frames:
-            p8 = predict.pose_from_mask(
-                f["image"], f["depth"], f["meta"], m8,
+            pe = predict.pose_from_mask(
+                f["image"], f["depth"], f["meta"], m_exact,
                 f["pred"]["mask"] > 0, "ball",
                 refine_iters=dcfg.iteration if use_refine else 0)
-            es8.append(float(np.linalg.norm(p8["position"] - f["gt_cam"])))
+            es_exact.append(float(np.linalg.norm(
+                pe["position"] - f["gt_cam"])))
+        attribution["emb_stride1_exact_pos_err_mean_m"] = round(
+            float(np.mean(es_exact)), 5)
         attribution["emb_stride8_pos_err_mean_m"] = round(
-            float(np.mean(es8)), 5)
+            float(np.mean(es1)), 5)
         attribution["emb_stride8_within_2mm"] = bool(
-            abs(np.mean(es8) - np.mean(es1)) <= 0.002)
+            abs(np.mean(es1) - np.mean(es_exact)) <= 0.002)
     if found:
         attribution["n_test_frames"] = len(frames)
         attribution["n_found"] = len(found_frames)
