@@ -182,20 +182,97 @@ def _full_prediction_jit(seg_vars, pose_vars, refine_vars,
 def _full_prediction_batched_jit(seg_vars, pose_vars, refine_vars, images,
                                  depths, intr, depth_scale, key,
                                  models_static):
-    """Batch mode: vmap the whole fused frame graph over a batch of frames
-    (B, H, W, ...) — same outputs with a leading batch axis. Measured
-    honestly (scan-serialized, scripts/bench_extra.py) this is LOWER
-    per-frame throughput than the single-frame graph on one chip (~34 vs
-    ~17 ms/frame at 640x480: vmapping the latency-bound CCA/gather stages
-    degrades their layouts) — its purpose is multi-chip serving, where
-    dryrun_multichip shards the batch axis over the mesh 'data' axis."""
-    b = images.shape[0]
-    keys = jax.random.split(key, b)
-    return jax.vmap(
-        lambda img, dep, k: _full_prediction_jit(
-            seg_vars, pose_vars, refine_vars, img, dep, intr, depth_scale,
-            k, models_static)
-    )(images, depths, keys)
+    """Batch mode: the fused frame graph over (B, H, W, ...) frames — same
+    outputs with a leading batch axis. NOT a vmap of the single-frame graph
+    (round-3 version): nesting vmap over frames on top of the per-class vmap
+    halved per-frame throughput (~34 vs ~17 ms at 640x480 — the CCA/gather
+    stages lost their single-frame layouts). Instead the batch and class
+    axes are FUSED into one flat lane axis (B*K):
+
+      * segmentation runs as ONE batched U-Net forward (B, H, W, C),
+      * class masks / score planes come from pure batched ops (a broadcast
+        compare + one transpose) — no per-frame slicing,
+      * CCA and the crop/choose/backproject gathers run under a SINGLE
+        one-level vmap over B*K lanes — exactly the single-frame graph's
+        vmap structure, just with more lanes (each lane indexes its frame
+        from the closed-over batch, a gather XLA serves lazily),
+      * PoseNet + refiner run as ONE (B*K)-batch forward — better MXU
+        utilization than B separate K-batches.
+
+    Per-lane keys reproduce the single-frame semantics exactly: frame i's
+    lanes use split(split(key, B)[i], K), so batched(frame i) equals the
+    single-frame graph run with key split(key, B)[i] (pinned by
+    tests/test_pipeline.py::test_batched_matches_single_frame).
+
+    Multi-chip serving shards the frame axis over the mesh 'data' axis
+    (dryrun_multichip); B*K reshapes keep the leading (sharded) dim a
+    multiple of B so SPMD partitioning stays collective-free."""
+    (seg_model, posenet, refiner, k_fg, num_points, crop,
+     refine_iters, agg_topk, cca_scale, cca_sweeps) = models_static
+    b, h_img, w_img = depths.shape
+    lanes = b * k_fg
+
+    x = normalize_imagenet(images)
+    logits = seg_model.apply(seg_vars, x)
+    probs = jax.nn.softmax(logits, axis=-1)
+    pred_arg = jnp.argmax(probs, axis=-1).astype(jnp.int32)  # (B, H, W)
+
+    cls_ids = jnp.arange(1, k_fg + 1, dtype=jnp.int32)
+    score_planes = jnp.transpose(probs, (0, 3, 1, 2))[:, 1:k_fg + 1]
+    lane_scores = score_planes.reshape(lanes, h_img, w_img)
+    lane_cls_masks = (pred_arg[:, None] == cls_ids[None, :, None, None]
+                      ).reshape(lanes, h_img, w_img)
+
+    def lane_cca(cls_mask, score):
+        count = jnp.sum(cls_mask.astype(jnp.int32))
+        comp, found, converged = cca_ops.best_component_mask(
+            cls_mask, jnp.where(cls_mask, score, 0.0), min_size=0.0,
+            rule="mean_float", scale=cca_scale, fixed_sweeps=cca_sweeps,
+            with_flag=True)
+        return comp, found & (count > 100), converged
+
+    masks, found, cca_converged = jax.vmap(lane_cca)(lane_cls_masks,
+                                                     lane_scores)
+
+    frame_keys = jax.random.split(key, b)
+    per_frame_keys = jax.vmap(lambda k: jax.random.split(k, k_fg))(frame_keys)
+    lane_keys = per_frame_keys.reshape((lanes,) + per_frame_keys.shape[2:])
+    lane_frame = jnp.repeat(jnp.arange(b, dtype=jnp.int32), k_fg)
+
+    def lane_pose_inputs(mask, k2, fi):
+        depth = depths[fi]
+        image = images[fi]
+        r0, c0, win = proj.zoom_window_bbox(mask, crop, h_img, w_img)
+        cloud, choose, count = proj.backproject_choose_zoom(
+            depth, mask, intr, depth_scale, r0, c0, win, crop, num_points,
+            k2)
+        img_crop = proj.resample_window(image, r0, c0, win, crop)
+        return cloud, choose, count, normalize_imagenet(img_crop)
+
+    clouds, chooses, counts, crops = jax.vmap(lane_pose_inputs)(
+        masks, lane_keys, lane_frame)
+    found = found & (counts > 0)
+
+    obj_idx = jnp.tile(jnp.arange(k_fg, dtype=jnp.int32), b)
+    pred_r, pred_t, pred_c, emb = posenet.apply(
+        pose_vars, crops, clouds, chooses, obj_idx)
+    quat, trans = losses.estimator_prediction(pred_r, pred_t, pred_c, clouds,
+                                              topk=agg_topk)
+    new_points = losses.rebase_points(quat, trans, clouds)
+    for _ in range(refine_iters):
+        dr, dt = refiner.apply(refine_vars, new_points, emb, obj_idx)
+        quat, trans = losses.compose_refined(dr, dt, quat, trans)
+        new_points = losses.rebase_points(quat, trans, clouds)
+
+    rs = lambda t: t.reshape((b, k_fg) + t.shape[1:])
+    return {
+        "found": rs(found),
+        "masks": rs(masks),
+        "quats": rs(quat),
+        "positions": rs(trans),
+        "argmax": pred_arg,
+        "cca_converged": rs(cca_converged),
+    }
 
 
 @functools.partial(jax.jit, static_argnames=("models_static", "cls_idx"))
@@ -310,6 +387,79 @@ def get_prediction_models(root: str, data_set_name: str,
                         refine_vars=refine_vars, dtype=dtype)
 
 
+def _intr_vec(meta: Dict) -> np.ndarray:
+    intr = meta["intr"]
+    return (intr.as_array() if hasattr(intr, "as_array") else np.asarray(
+        [intr["fx"], intr["fy"], intr["ppx"], intr["ppy"]], np.float32))
+
+
+def _materialize(out: Dict, models: "PredictionModels",
+                 want_masks: bool = True) -> Dict:
+    """Host-side conversion of one frame's device outputs into the
+    reference's class-keyed prediction dict."""
+    found = np.asarray(out["found"])
+    quats = np.asarray(out["quats"])
+    positions = np.asarray(out["positions"])
+    masks = np.asarray(out["masks"]) if want_masks else None
+    cca_conv = np.asarray(out["cca_converged"])
+    predictions = {}
+    for i, cls in enumerate(models.classes):
+        if found[i]:
+            predictions[cls] = {
+                "position": positions[i],
+                "rotation": quats[i],
+            }
+            if want_masks:
+                predictions[cls]["mask"] = masks[i].astype(np.uint8) * 255
+    return {"predictions": predictions,
+            "cca_converged": {cls: bool(cca_conv[i])
+                              for i, cls in enumerate(models.classes)}}
+
+
+def serve_stream(frames, models: "PredictionModels",
+                 in_flight: int = 4, want_masks: bool = True,
+                 key: Optional[jax.Array] = None):
+    """Dispatch-ahead pipelined serving loop (generator).
+
+    The plain `full_prediction` wrapper is strictly
+    dispatch -> wait -> readback: every frame pays the full host<->device
+    round trip even though JAX dispatch is asynchronous. For a stream of
+    frames that serializes H2D, compute, and D2H. This loop keeps up to
+    `in_flight` device executions outstanding — frame N+1..N+in_flight are
+    dispatched while frame N's outputs travel back — so steady-state
+    throughput approaches the device rate, bounded below by link bandwidth,
+    not by link latency.
+
+    `frames` yields (image, depth, meta) tuples; results come back IN ORDER
+    as full_prediction-contract dicts (set want_masks=False to skip the
+    per-class mask readback — positions/rotations only — when the downlink
+    is the bottleneck; the masks are by far the largest transfer).
+
+    Reference analog: the live loop is a host-driven
+    while-True capture->predict->draw cycle
+    (/root/reference/main.py:517-530) with no overlap at all.
+    """
+    import collections
+
+    if key is None:
+        key = jax.random.PRNGKey(int(time.time_ns()) % (2 ** 31))
+    static = static_tuple(models)
+    pending = collections.deque()
+    frame_no = 0
+    for image, depth, meta in frames:
+        out = _full_prediction_jit(
+            models.seg_vars, models.pose_vars, models.refine_vars,
+            jnp.asarray(image), jnp.asarray(depth, jnp.float32),
+            jnp.asarray(_intr_vec(meta)), jnp.float32(meta["depth_scale"]),
+            jax.random.fold_in(key, frame_no), static)
+        pending.append(out)
+        frame_no += 1
+        if len(pending) > in_flight:
+            yield _materialize(pending.popleft(), models, want_masks)
+    while pending:
+        yield _materialize(pending.popleft(), models, want_masks)
+
+
 def full_prediction(image: np.ndarray, depth: np.ndarray, meta: Dict,
                     models: PredictionModels,
                     key: Optional[jax.Array] = None,
@@ -327,8 +477,6 @@ def full_prediction(image: np.ndarray, depth: np.ndarray, meta: Dict,
     """
     timer = StageTimer()
     intr = meta["intr"]
-    intr_vec = intr.as_array() if hasattr(intr, "as_array") else np.asarray(
-        [intr["fx"], intr["fy"], intr["ppx"], intr["ppy"]], np.float32)
     if key is None:
         key = jax.random.PRNGKey(int(time.time_ns()) % (2 ** 31))
 
@@ -339,29 +487,14 @@ def full_prediction(image: np.ndarray, depth: np.ndarray, meta: Dict,
         out = _full_prediction_jit(
             models.seg_vars, models.pose_vars, models.refine_vars,
             jnp.asarray(image), jnp.asarray(depth, jnp.float32),
-            jnp.asarray(intr_vec), jnp.float32(meta["depth_scale"]),
+            jnp.asarray(_intr_vec(meta)), jnp.float32(meta["depth_scale"]),
             key, static)
         found = np.asarray(out["found"])
     with timer.stage("pose_estimation"):
-        masks = np.asarray(out["masks"])
-        quats = np.asarray(out["quats"])
-        positions = np.asarray(out["positions"])
-
-    cca_conv = np.asarray(out["cca_converged"])
-    predictions = {}
-    for i, cls in enumerate(models.classes):
-        if found[i]:
-            predictions[cls] = {
-                "mask": (masks[i].astype(np.uint8)) * 255,
-                "position": positions[i],
-                "rotation": quats[i],
-            }
-    out_dict = {"predictions": predictions,
-                # per-class CCA sweep-budget convergence (all-True on
-                # tabletop scenes; False flags a serpentine component the
-                # fixed sweep count could not fully label)
-                "cca_converged": {cls: bool(cca_conv[i])
-                                  for i, cls in enumerate(models.classes)}}
+        # per-class CCA sweep-budget convergence (all-True on tabletop
+        # scenes; False flags a serpentine component the fixed sweep count
+        # could not fully label)
+        out_dict = _materialize(out, models)
     if color_prediction:
         from . import visualize as viz
         from ..main import COLOR_DICT

@@ -152,3 +152,80 @@ def test_serving_pose_path_matches_dataset_path(tmp_path_factory):
     np.testing.assert_allclose(np.abs(np.dot(out["rotation"],
                                              np.asarray(quat)[0])), 1.0,
                                atol=1e-5)
+
+
+def test_batched_matches_single_frame(models):
+    """The flat-lane batched graph must reproduce the single-frame graph
+    exactly: frame i of the batch with key split(key, B)[i] equals the
+    single-frame graph run with that key (same masks, quats, positions,
+    found gates). Guards the round-4 batched-graph restructuring."""
+    rng = np.random.default_rng(7)
+    b = 3
+    images = rng.integers(0, 255, (b, H, W, 3)).astype(np.uint8)
+    # give frames structure so CCA picks real components per frame
+    depths = np.full((b, H, W), 800.0, np.float32)
+    for i in range(b):
+        images[i, 20:60, 30 + 10 * i:90, :] = (200, 30 + 60 * i, 40)
+    intr = jnp.asarray([120.0, 120.0, W / 2, H / 2], jnp.float32)
+    static = predict.static_tuple(models)
+    key = jax.random.PRNGKey(42)
+
+    out_b = predict._full_prediction_batched_jit(
+        models.seg_vars, models.pose_vars, models.refine_vars,
+        jnp.asarray(images), jnp.asarray(depths), intr, jnp.float32(0.001),
+        key, static)
+    frame_keys = jax.random.split(key, b)
+    for i in range(b):
+        out_s = predict._full_prediction_jit(
+            models.seg_vars, models.pose_vars, models.refine_vars,
+            jnp.asarray(images[i]), jnp.asarray(depths[i]), intr,
+            jnp.float32(0.001), frame_keys[i], static)
+        np.testing.assert_array_equal(np.asarray(out_b["found"][i]),
+                                      np.asarray(out_s["found"]))
+        np.testing.assert_array_equal(np.asarray(out_b["masks"][i]),
+                                      np.asarray(out_s["masks"]))
+        np.testing.assert_array_equal(np.asarray(out_b["argmax"][i]),
+                                      np.asarray(out_s["argmax"]))
+        np.testing.assert_allclose(np.asarray(out_b["quats"][i]),
+                                   np.asarray(out_s["quats"]),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out_b["positions"][i]),
+                                   np.asarray(out_s["positions"]),
+                                   atol=1e-5)
+
+
+def test_serve_stream_matches_sequential(models):
+    """Dispatch-ahead pipelined serving yields the same predictions, in
+    order, as the blocking wrapper called with the same per-frame keys."""
+    rng = np.random.default_rng(3)
+    n = 5
+    frames = []
+    for i in range(n):
+        image = rng.integers(0, 255, (H, W, 3)).astype(np.uint8)
+        image[30:70, 40:100] = (210, 40, 40)
+        depth = np.full((H, W), 750.0 + 10 * i, np.float32)
+        meta = {"intr": Intrinsics(width=W, height=H, ppx=W / 2, ppy=H / 2,
+                                   fx=120.0, fy=120.0),
+                "depth_scale": 0.001}
+        frames.append((image, depth, meta))
+
+    key = jax.random.PRNGKey(11)
+    got = list(predict.serve_stream(iter(frames), models, in_flight=2,
+                                    key=key))
+    assert len(got) == n
+    for i, (image, depth, meta) in enumerate(frames):
+        want = predict.full_prediction(image, depth, meta, models,
+                                       key=jax.random.fold_in(key, i))
+        assert set(got[i]["predictions"]) == set(want["predictions"])
+        for cls, p in want["predictions"].items():
+            np.testing.assert_allclose(got[i]["predictions"][cls]["position"],
+                                       p["position"], atol=1e-6)
+            np.testing.assert_array_equal(got[i]["predictions"][cls]["mask"],
+                                          p["mask"])
+
+    # want_masks=False drops the heavy per-class mask readback
+    lite = list(predict.serve_stream(iter(frames[:2]), models, in_flight=1,
+                                     want_masks=False, key=key))
+    for d in lite:
+        for p in d["predictions"].values():
+            assert "mask" not in p and "position" in p
