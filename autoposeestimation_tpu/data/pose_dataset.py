@@ -38,7 +38,13 @@ class PoseDataset:
                  p_extra_data: float = 0.0, p_viewpoints: float = 1.0,
                  num_pt_mesh: int = 1000, crop: int = 320, seed: int = 0,
                  crop_and_zoom: bool = False, return_raw: bool = False,
-                 rot_degrees: float = 180.0):
+                 rot_degrees: float = 180.0, pose_source: str = "tf_chain"):
+        # pose_source: "tf_chain" composes cam2robot @ robot2object (the
+        # myDatasetAugmented behavior, dataset.py:130-141); "meta_fields"
+        # reads the label meta's camera-frame position/rotation directly —
+        # the myDataset variant's convention
+        # (/root/reference/DenseFusion/datasets/myDataset/dataset.py:170-171)
+        self.pose_source = pose_source
         # rot_degrees: in-plane rotation augmentation range (reference
         # default +-180, dataset.py:204-221); small datasets may want a
         # narrower range — full SO(2) equivariance from few base views is a
@@ -155,10 +161,14 @@ class PoseDataset:
             augment_rotation[:3, :3] = _rot_z(np.deg2rad(angle))
             img, label, depth = aug.rotate_joint(angle, img, label, depth)
 
-        cam2robot = meta["cam2robot"]
+        if self.pose_source == "meta_fields":
+            cam2object = np.eye(4)
+            cam2object[:3, :3] = meta["rotation"]
+            cam2object[:3, 3] = meta["position"]
+        else:
+            cam2object = meta["cam2robot"] @ meta["robot2object"]
         if self.add_noise:
-            cam2robot = np.linalg.inv(augment_rotation) @ cam2robot
-        cam2object = cam2robot @ meta["robot2object"]
+            cam2object = np.linalg.inv(augment_rotation) @ cam2object
         target_r = cam2object[:3, :3]
         target_t = cam2object[:3, 3] / 1000.0  # to meters
 

@@ -239,9 +239,15 @@ def make_dataset(root: str, objects: Sequence[SphereObject] = None,
                     cam2robot = np.linalg.inv(robot2cam)
                     robot2object = np.eye(4)
                     robot2object[:3, 3] = obj.center
+                    # position/rotation are the CAMERA-frame object pose —
+                    # the same cam2robot @ robot2object composition the real
+                    # labeling pipeline writes (labeling/pose_labels.py;
+                    # reference label_generator/create_labels.py:422-426)
+                    cam2object = cam2robot @ robot2object
                     io.write_pose_label_meta(
                         os.path.join(label_run_dir, stem + ".meta.json"),
-                        position=obj.center, rotation=np.eye(3),
+                        position=cam2object[:3, 3],
+                        rotation=cam2object[:3, :3],
                         cls_name=obj.name, cam2robot=cam2robot,
                         robot2object=robot2object)
 

@@ -144,6 +144,26 @@ def test_device_prefetch(synth_root):
     assert hasattr(out[0]["image"], "devices")
 
 
+def test_pose_dataset_meta_fields_pose_source(synth_root):
+    """myDataset variant convention: the pose comes straight from the label
+    meta's camera-frame position/rotation
+    (/root/reference/DenseFusion/datasets/myDataset/dataset.py:168-169)
+    instead of composing cam2robot @ robot2object. Our labeling pipeline
+    writes position/rotation AS that composition, so on pipeline-produced
+    data the two sources must agree exactly."""
+    kw = dict(mode="test", num_pt=150, num_pt_mesh=200, crop=64,
+              add_noise=False, seed=3)
+    chain = pose_dataset.PoseDataset(synth_root, "synth",
+                                     pose_source="tf_chain", **kw)
+    fields = pose_dataset.PoseDataset(synth_root, "synth",
+                                      pose_source="meta_fields", **kw)
+    a, b = chain[0], fields[0]
+    assert a is not None and b is not None
+    np.testing.assert_allclose(a["target_r"], b["target_r"], atol=1e-9)
+    np.testing.assert_allclose(a["target_t"], b["target_t"], atol=1e-9)
+    np.testing.assert_allclose(a["target"], b["target"], atol=1e-9)
+
+
 def test_pose_dataset_crop_and_zoom_variant(synth_root):
     """myDatasetAugmented2 behavior: zoomed crops with rewritten intrinsics
     must still backproject onto the object surface."""
