@@ -15,6 +15,29 @@ import numpy as np
 from ..train import densefusion as dft
 
 
+def add_from_pose(quat, position, gt_rotation, gt_translation, model_points,
+                  symmetric: bool = False) -> float:
+    """ADD (or ADD-S when `symmetric`) between a predicted camera-frame pose
+    (unit quaternion wxyz + translation, meters) and a ground-truth rotation
+    matrix + translation, over `model_points` (M, 3) meters.
+
+    The serving-side twin of the trainer's ADD(-S) distance
+    (models/losses.pose_loss; reference /root/reference/DenseFusion/lib/
+    loss.py:15-40): used where predictions arrive as quaternions from
+    `pipeline.predict` instead of inside the jitted loss."""
+    import jax.numpy as jnp
+
+    from ..utils import transforms as T
+
+    rot = np.asarray(T.quat_to_mat(jnp.asarray(quat, jnp.float32)))
+    pred = model_points @ rot.T + np.asarray(position)
+    gt = model_points @ np.asarray(gt_rotation).T + np.asarray(gt_translation)
+    if symmetric:
+        d = np.linalg.norm(pred[:, None, :] - gt[None, :, :], axis=-1)
+        return float(d.min(axis=1).mean())
+    return float(np.linalg.norm(pred - gt, axis=-1).mean())
+
+
 def evaluate(state: "dft.TrainerState", test_batches: Callable[[], Iterable],
              classes, refine: bool = True, iteration: int = 2,
              success_threshold: float = 0.02) -> Dict:
