@@ -452,6 +452,17 @@ def serve_stream(frames, models: "PredictionModels",
             jnp.asarray(image), jnp.asarray(depth, jnp.float32),
             jnp.asarray(_intr_vec(meta)), jnp.float32(meta["depth_scale"]),
             jax.random.fold_in(key, frame_no), static)
+        # start the D2H transfers NOW (non-blocking): by the time this
+        # frame reaches the front of the queue its outputs are already on
+        # the host, so the blocking np.asarray in _materialize doesn't pay
+        # a fresh link round-trip per tensor
+        fetched = ["found", "quats", "positions", "cca_converged"] + (
+            ["masks"] if want_masks else [])
+        for name in fetched:  # only what _materialize reads
+            try:
+                out[name].copy_to_host_async()
+            except (AttributeError, RuntimeError):
+                pass
         pending.append(out)
         frame_no += 1
         if len(pending) > in_flight:
