@@ -118,11 +118,14 @@ class PoseNet(nn.Module):
     # bilinear gather and is the SERVING default via pipeline/predict.
     # build_models — see pspnet.PSPNet for the promotion evidence)
     emb_stride: int = 1
+    # space-to-batch lowering of the PSPNet's dilated blocks (exact; shared
+    # params — see resnet.BasicBlockPlain)
+    dil_s2b: bool = False
 
     @nn.compact
     def __call__(self, img, cloud, choose, obj_idx, train: bool = False):
-        emb_map = PSPNet(dtype=self.dtype, emb_stride=self.emb_stride)(
-            img, train=train)
+        emb_map = PSPNet(dtype=self.dtype, emb_stride=self.emb_stride,
+                         dil_s2b=self.dil_s2b)(img, train=train)
         if self.emb_stride > 1:
             emb = gather_embeddings_bilinear(emb_map, choose,
                                              img.shape[-2])  # (B, N, 32)

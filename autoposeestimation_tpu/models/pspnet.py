@@ -89,12 +89,16 @@ class PSPNet(nn.Module):
     embed_dim: int = 32
     dtype: Dtype = jnp.bfloat16
     emb_stride: int = 1
+    # lower the dilated layer-3/4 blocks via space-to-batch (exact same
+    # math and params, dense-conv MXU lowering — see resnet.BasicBlockPlain)
+    dil_s2b: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         assert self.emb_stride in (1, 2, 4, 8)
         n_resize = {1: 3, 2: 2, 4: 1, 8: 0}[self.emb_stride]
-        f = DilatedResNetNoBN(dtype=self.dtype)(x.astype(self.dtype))
+        f = DilatedResNetNoBN(dtype=self.dtype,
+                              dil_s2b=self.dil_s2b)(x.astype(self.dtype))
         p = PSPModule(1024, dtype=self.dtype)(f)
         p = nn.Dropout(0.3, deterministic=not train)(p)
         p = PSPUpsample(256, dtype=self.dtype, do_resize=n_resize > 0)(p)

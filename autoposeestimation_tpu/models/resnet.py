@@ -71,31 +71,70 @@ class ResNetEncoder(nn.Module):
         return tuple(feats)
 
 
+def _space_to_batch(x, d):
+    """(B, H, W, C) -> (B*d*d, H/d, W/d, C): subgrid (i, j) holds the pixels
+    at (i::d, j::d). A 3x3 conv with kernel_dilation=d and padding=d on the
+    original lattice is EXACTLY a dense 3x3 'SAME' conv on every subgrid
+    (each dilated neighbour at offset +-d lands on the same subgrid's
+    adjacent sample; the d-pixel zero pad maps to the subgrid's 1-pixel
+    zero pad)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // d, d, w // d, d, c)
+    x = x.transpose(0, 2, 4, 1, 3, 5)
+    return x.reshape(b * d * d, h // d, w // d, c)
+
+
+def _batch_to_space(y, d, b):
+    bd, hp, wp, c = y.shape
+    y = y.reshape(b, d, d, hp, wp, c)
+    y = y.transpose(0, 3, 1, 4, 2, 5)
+    return y.reshape(b, hp * d, wp * d, c)
+
+
 class BasicBlockPlain(nn.Module):
     """Reference PSPNet block: conv-relu-conv (+downsample) — *no* BatchNorm,
-    with optional dilation (extractors.py:18-43)."""
+    with optional dilation (extractors.py:18-43).
+
+    `s2b=True` computes dilated blocks via space-to-batch: rearrange the
+    lattice into d*d subgrids once, run both 3x3 convs DENSE (the form XLA
+    tiles best onto the MXU), add the residual in rearranged space (the
+    permutation is pointwise), and restore. Mathematically exact (same
+    reduction per output pixel; only conv lowering changes) and the param
+    tree is IDENTICAL — nn.Conv's kernel shape/name does not depend on its
+    dilation attribute — so trained and torch-imported weights are shared
+    between both paths."""
 
     features: int
     stride: int = 1
     dilation: int = 1
     dtype: Dtype = jnp.bfloat16
+    s2b: bool = False
 
     @nn.compact
     def __call__(self, x):
+        d = self.dilation
+        use_s2b = (self.s2b and d > 1 and self.stride == 1
+                   and x.shape[-3] % d == 0 and x.shape[-2] % d == 0)
+        dil = 1 if use_s2b else d
+        b = x.shape[0]
+        if use_s2b:
+            x = _space_to_batch(x, d)
         residual = x
         y = nn.Conv(self.features, (3, 3), strides=(self.stride, self.stride),
-                    padding=self.dilation,
-                    kernel_dilation=(self.dilation, self.dilation),
+                    padding=dil, kernel_dilation=(dil, dil),
                     use_bias=False, dtype=self.dtype)(x)
         y = nn.relu(y)
-        y = nn.Conv(self.features, (3, 3), padding=self.dilation,
-                    kernel_dilation=(self.dilation, self.dilation),
+        y = nn.Conv(self.features, (3, 3), padding=dil,
+                    kernel_dilation=(dil, dil),
                     use_bias=False, dtype=self.dtype)(y)
         if residual.shape != y.shape:
             residual = nn.Conv(self.features, (1, 1),
                                strides=(self.stride, self.stride),
                                use_bias=False, dtype=self.dtype)(x)
-        return nn.relu(y + residual)
+        y = nn.relu(y + residual)
+        if use_s2b:
+            y = _batch_to_space(y, d, b)
+        return y
 
 
 class DilatedResNetNoBN(nn.Module):
@@ -106,6 +145,7 @@ class DilatedResNetNoBN(nn.Module):
 
     stage_sizes: Sequence[int] = (2, 2, 2, 2)  # resnet18
     dtype: Dtype = jnp.bfloat16
+    dil_s2b: bool = False  # space-to-batch lowering of the dilated blocks
 
     @nn.compact
     def __call__(self, x):
@@ -126,5 +166,6 @@ class DilatedResNetNoBN(nn.Module):
                     stride=first_stride if b == 0 else 1,
                     dilation=1 if b == 0 else dil,
                     dtype=self.dtype,
+                    s2b=self.dil_s2b,
                 )(x)
         return x

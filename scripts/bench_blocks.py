@@ -124,6 +124,21 @@ def main():
     bench_module("control_40x40_c512_dil4", DilConv(), (BS, h16, h16, 512),
                  conv_flops(BS, h16, h16, 512, 512))
 
+    # space-to-batch lowering of the same dilated conv (exact rewrite —
+    # resnet._space_to_batch): is dense-on-subgrids faster than dilated?
+    class DilConvS2B(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            from autoposeestimation_tpu.models import resnet as rn
+            b = x.shape[0]
+            xs = rn._space_to_batch(x, 4)
+            y = nn.Conv(512, (3, 3), padding=1, use_bias=False,
+                        dtype=jnp.bfloat16)(xs)
+            return rn._batch_to_space(y, 4, b)
+
+    bench_module("control_40x40_c512_dil4_s2b", DilConvS2B(),
+                 (BS, h16, h16, 512), conv_flops(BS, h16, h16, 512, 512))
+
     # ---- the real stages -------------------------------------------------
     class Stem(nn.Module):
         @nn.compact
@@ -141,6 +156,7 @@ def main():
         width: int
         first_stride: int = 1
         dil: int = 1
+        s2b: bool = False
 
         @nn.compact
         def __call__(self, x):
@@ -148,7 +164,7 @@ def main():
                 x = resnet.BasicBlockPlain(
                     self.width, stride=self.first_stride if b == 0 else 1,
                     dilation=1 if b == 0 else self.dil,
-                    dtype=jnp.bfloat16)(x)
+                    dtype=jnp.bfloat16, s2b=self.s2b)(x)
             return x
 
     # (name, module, input shape, conv FLOPs)
@@ -168,6 +184,10 @@ def main():
          layer_flops(h16, h16, 128, 256)),
         ("layer4_40x40_c512_dil4", Layer(512, dil=4), (BS, h16, h16, 256),
          layer_flops(h16, h16, 256, 512)),
+        ("layer3_40x40_c256_dil2_s2b", Layer(256, dil=2, s2b=True),
+         (BS, h16, h16, 128), layer_flops(h16, h16, 128, 256)),
+        ("layer4_40x40_c512_dil4_s2b", Layer(512, dil=4, s2b=True),
+         (BS, h16, h16, 256), layer_flops(h16, h16, 256, 512)),
     ]
     for name, mod, shp, fl in stages:
         bench_module(name, mod, shp, fl)
@@ -204,6 +224,9 @@ def main():
                  + conv_flops(BS, CROP, CROP, 64, 64)
                  + conv_flops(BS, CROP, CROP, 64, 32, 1))
     bench_module("pspnet_full_stride1", pspnet.PSPNet(dtype=jnp.bfloat16),
+                 (BS, CROP, CROP, 3), psp_total)
+    bench_module("pspnet_full_stride1_s2b",
+                 pspnet.PSPNet(dtype=jnp.bfloat16, dil_s2b=True),
                  (BS, CROP, CROP, 3), psp_total)
 
 

@@ -211,3 +211,38 @@ def test_gather_embeddings_bilinear_exact_on_linear_field():
         jnp.asarray(emb), jnp.asarray(choose), crop))
     np.testing.assert_allclose(got[0, :, 0], rows.reshape(-1), atol=1e-4)
     np.testing.assert_allclose(got[0, :, 1], cols.reshape(-1), atol=1e-4)
+
+
+def test_dilated_s2b_exact_and_param_compatible():
+    """The space-to-batch lowering of the dilated blocks is mathematically
+    exact: same param tree as the dilated form, and with SHARED weights the
+    full PSPNet output matches to float32 conv-reassociation tolerance."""
+    from autoposeestimation_tpu.models import resnet
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(2, 16, 16, 8)), jnp.float32)
+
+    # single block, dilation 4 (layer4's tail form)
+    blk_d = resnet.BasicBlockPlain(8, dilation=4, dtype=jnp.float32)
+    blk_s = resnet.BasicBlockPlain(8, dilation=4, dtype=jnp.float32, s2b=True)
+    v = blk_d.init(jax.random.PRNGKey(0), x)
+    assert (jax.tree_util.tree_structure(v)
+            == jax.tree_util.tree_structure(blk_s.init(jax.random.PRNGKey(1), x)))
+    np.testing.assert_allclose(np.asarray(blk_d.apply(v, x)),
+                               np.asarray(blk_s.apply(v, x)),
+                               rtol=1e-5, atol=1e-5)
+
+    # whole PSPNet, shared weights across the flag
+    img = jnp.asarray(rng.normal(size=(1, 32, 32, 3)), jnp.float32)
+    net_d = pspnet.PSPNet(dtype=jnp.float32)
+    net_s = pspnet.PSPNet(dtype=jnp.float32, dil_s2b=True)
+    vv = net_d.init(jax.random.PRNGKey(0), img)
+    np.testing.assert_allclose(np.asarray(net_d.apply(vv, img)),
+                               np.asarray(net_s.apply(vv, img)),
+                               rtol=1e-4, atol=1e-4)
+
+    # non-divisible lattice falls back to the dilated form (no crash)
+    x_odd = jnp.asarray(rng.normal(size=(1, 18, 18, 8)), jnp.float32)
+    blk3 = resnet.BasicBlockPlain(8, dilation=4, dtype=jnp.float32, s2b=True)
+    v3 = blk3.init(jax.random.PRNGKey(0), x_odd)
+    assert np.isfinite(np.asarray(blk3.apply(v3, x_odd))).all()
