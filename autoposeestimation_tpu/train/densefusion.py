@@ -67,6 +67,10 @@ class DFConfig:
     # stays exact f32). ops/pallas_addloss._cross_dtype documents the
     # cancellation caveat near convergence.
     sym_bf16: bool = False
+    # space-to-batch lowering of the PSPNet's dilated layer-3/4 blocks
+    # (mathematically exact, param-compatible — models/resnet.
+    # BasicBlockPlain); flip only behind an on-chip A/B win (bench_blocks)
+    dil_s2b: bool = False
     # mesh data parallelism: 'auto' (engage when >1 device — parity with the
     # reference's always-DataParallel PSPNet, DenseFusion/lib/network.py:33),
     # 'on', 'off'
@@ -244,7 +248,8 @@ def create_trainer(num_obj: int, cfg: Optional[DFConfig] = None,
                    crop: int = 320, dtype=jnp.bfloat16,
                    seed: int = 0) -> TrainerState:
     cfg = cfg or DFConfig()
-    posenet = densefusion.PoseNet(num_obj=num_obj, dtype=dtype)
+    posenet = densefusion.PoseNet(num_obj=num_obj, dtype=dtype,
+                                  dil_s2b=cfg.dil_s2b)
     refiner = densefusion.PoseRefineNet(num_obj=num_obj, dtype=dtype)
     k0, k1 = jax.random.split(jax.random.PRNGKey(seed))
     n, m = cfg.num_points, cfg.num_points_mesh

@@ -176,6 +176,13 @@ def train_section():
         return (emb_map.sum() * 0).astype(jnp.float32), emb_map[0, 0, 0, 0]
     emit("train_pspnet_fwd_bs8", scan_time(pspnet_fwd, jnp.float32(0)))
 
+    def pspnet_fwd_s2b(c, i):
+        emb_map = densefusion.PSPNet(dtype=jnp.bfloat16, dil_s2b=True).apply(
+            {"params": pose_vars["params"]["PSPNet_0"]}, img + c)
+        return (emb_map.sum() * 0).astype(jnp.float32), emb_map[0, 0, 0, 0]
+    emit("train_pspnet_fwd_bs8_dils2b",
+         scan_time(pspnet_fwd_s2b, jnp.float32(0)))
+
     def posenet_fwd(c, i):
         pr, pt, pc, emb = posenet.apply(pose_vars, img + c, cloud, choose,
                                         obj_idx)
@@ -221,6 +228,21 @@ def train_section():
         return (pv, os_), metrics["loss"]
     emit("train_estimator_step_bs8_symbf16",
          scan_time(est_step_bf16, (pose_vars, opt_state), iters=8))
+
+    # space-to-batch dilated blocks: exact rewrite, same pose_vars (the
+    # param tree is dilation-independent) — pure lowering A/B
+    posenet_s2b = densefusion.PoseNet(num_obj=num_obj, dtype=jnp.bfloat16,
+                                      dil_s2b=True)
+
+    def est_step_s2b(carry, i):
+        pv, os_ = carry
+        b = dict(batch)
+        b["dropout_rng"] = jax.random.fold_in(jax.random.PRNGKey(7), i)
+        pv, os_, metrics = dft.estimator_step(pv, os_, b, 0.015, posenet_s2b,
+                                              tx)
+        return (pv, os_), metrics["loss"]
+    emit("train_estimator_step_bs8_dils2b",
+         scan_time(est_step_s2b, (pose_vars, opt_state), iters=8))
 
     txr = dft.make_optimizer(1e-4)
     opt_r = txr.init(refine_vars["params"])
