@@ -69,11 +69,12 @@ def _dot_f32x3(a, b):
 
 
 def _moments_kernel(pred_t_ref, rot_ref, model_ref, target_ref,
-                    dis_ref, sq_ref, *, cross_dtype=jnp.float32):
+                    dis_ref, var_ref, *, cross_dtype=jnp.float32):
     """pred_t (TC, 8): candidate translations (points + t, xyz padded)
     rot (TC*3, 8): 3 rotation-matrix rows per candidate (xyz in cols 0..2)
     model (M, 8), target (M, 8): xyz padded
-    dis/sq (8, TC/8): per-candidate mean / mean-square of matched distances.
+    dis/var (8, TC/8): per-candidate mean / centered sample variance
+    (ddof=1) of matched distances.
 
     Scatter doesn't lower in Mosaic; candidates accumulate into the (8, TC/8)
     output tile via a broadcasted-iota select, and per-candidate rows come
@@ -97,7 +98,7 @@ def _moments_kernel(pred_t_ref, rot_ref, model_ref, target_ref,
     ones_col = jnp.ones((m, 1), jnp.float32)
 
     def one(c, acc):
-        dis_acc, sq_acc = acc
+        dis_acc, var_acc = acc
         rot = rot_ref[pl.ds(3 * c, 3), :3]        # (3, 3) = R_c rows
         t = pred_t_ref[pl.ds(c, 1), :3]           # (1, 3)
         rot_aug = jnp.concatenate([rot, t], axis=0)  # (4, 3): [R^T rows; t]
@@ -119,15 +120,21 @@ def _moments_kernel(pred_t_ref, rot_ref, model_ref, target_ref,
         dmin2 = jnp.maximum(jnp.min(d2, axis=1, keepdims=True), 0.0)  # (M, 1)
         dmin = jnp.sqrt(dmin2)
         here = (row_ids == c // cols) & (col_ids == c % cols)
-        dis_acc = jnp.where(here, jnp.sum(dmin) / m, dis_acc)
-        sq_acc = jnp.where(here, jnp.sum(dmin2) / m, sq_acc)
-        return dis_acc, sq_acc
+        dis = jnp.sum(dmin) / m
+        # centered (two-pass) sample variance: mean(dmin^2) - dis^2 suffers
+        # catastrophic f32 cancellation when the matched distances are
+        # nearly constant (a near-spherical symmetric object at
+        # convergence: true sigma ~1e-6 under ~1e-9 noise on dis^2 ~ 1e-2)
+        dd = dmin - dis
+        dis_acc = jnp.where(here, dis, dis_acc)
+        var_acc = jnp.where(here, jnp.sum(dd * dd) / max(m - 1, 1), var_acc)
+        return dis_acc, var_acc
 
-    dis, sq = jax.lax.fori_loop(
+    dis, var = jax.lax.fori_loop(
         0, _TC, one, (jnp.zeros((rows, cols), jnp.float32),
                       jnp.zeros((rows, cols), jnp.float32)))
     dis_ref[:, :] = dis
-    sq_ref[:, :] = sq
+    var_ref[:, :] = var
 
 
 def _pad_rows(x, mult):
@@ -142,7 +149,7 @@ def _pad_cols(x, width):
 @functools.partial(jax.jit, static_argnames=("interpret", "cross_dtype"))
 def _moments_fwd(rot, pred_t, model_points, target, interpret=False,
                  cross_dtype=jnp.float32):
-    """rot (N, 3, 3), pred_t (N, 3) -> (dis (N,), mean_sq (N,))."""
+    """rot (N, 3, 3), pred_t (N, 3) -> (dis (N,), sample var ddof=1 (N,))."""
     n = rot.shape[0]
     # 3 rows of R^T per candidate, stacked: rows [3c, 3c+3) = R_c^T, so the
     # kernel's homogeneous matmul computes model @ R^T + t directly
@@ -218,7 +225,7 @@ def _train_kernel(pred_t_ref, rot_ref, model_ref, target_ref, out_ref, *,
     their cotangents, gradient-identical for duplicated wrap-padded targets.
 
     out (TC, 32): cols 0..2 A_t, 3..5 B_t, 6..14 A_r, 15..23 B_r,
-    24 dis, 25 sq.
+    24 dis, 25 sample variance (ddof=1, centered).
     """
     model_aug = model_ref[:, :4]    # (M, 4)
     target_aug = target_ref[:, :5]  # (M, 5): [-2t, ||t||^2, 1]
@@ -233,7 +240,6 @@ def _train_kernel(pred_t_ref, rot_ref, model_ref, target_ref, out_ref, *,
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
     ones_col = jnp.ones((m, 1), jnp.float32)
     inv_m = 1.0 / m
-    bessel = m / max(m - 1, 1)
     inv_m1 = 1.0 / max(m - 1, 1)
 
     def one(c, acc):
@@ -257,8 +263,13 @@ def _train_kernel(pred_t_ref, rot_ref, model_ref, target_ref, out_ref, *,
         dmin2c = jnp.maximum(dmin2, 0.0)
         dmin = jnp.sqrt(dmin2c)                        # (M, 1)
         dis = jnp.sum(dmin) * inv_m                    # scalar
-        sq = jnp.sum(dmin2c) * inv_m
-        var = jnp.maximum(sq - dis * dis, 0.0) * bessel
+        # centered sample variance: the one-pass mean(d^2) - dis^2 form
+        # cancels catastrophically when matched distances are nearly
+        # constant (near-spherical symmetric object at convergence) — the
+        # clamped-to-1e-12 std then DIVIDES the real ~1e-6 spread in wvec,
+        # emitting ~1e6x gradients (the round-4 epoch-5 training collapse)
+        dd = dmin - dis                                # (M, 1)
+        var = jnp.sum(dd * dd) * inv_m1
         std = jnp.maximum(jnp.sqrt(var), 1e-12)
 
         # one matmul yields both the tie-normalizer and the matched sum:
@@ -277,7 +288,11 @@ def _train_kernel(pred_t_ref, rot_ref, model_ref, target_ref, out_ref, *,
         row_norm = mn[:, 3:4]
         matched = mn[:, :3] / row_norm
         u = (pred - matched) / jnp.maximum(dmin, 1e-12)  # (M, 3)
-        wvec = (dmin - dis) * inv_m1 / std               # (M, 1)
+        # |dd_i| <= sqrt(M-1)*std is an algebraic identity, so |wvec| <=
+        # 1/sqrt(M-1) in exact arithmetic — the clip is a no-op on healthy
+        # values and bounds the gradient under any residual rounding
+        wcap = 1.0 / float(max(m - 1, 1)) ** 0.5
+        wvec = jnp.clip(dd * inv_m1 / std, -wcap, wcap)  # (M, 1)
         wu = u * wvec
         # A_r = u^T model / M, B_r = wu^T model  (3, 3) K=M matmuls
         a_r = jnp.dot(u.T, model_aug[:, :3],
@@ -299,7 +314,7 @@ def _train_kernel(pred_t_ref, rot_ref, model_ref, target_ref, out_ref, *,
             for bj in range(3):
                 vals.append(b_r[ai, bj])
         vals.append(dis)
-        vals.append(sq)
+        vals.append(var)
         for k, v in enumerate(vals):
             acc = jnp.where(here & (col_ids == k), v, acc)
         return acc
@@ -311,7 +326,7 @@ def _train_kernel(pred_t_ref, rot_ref, model_ref, target_ref, out_ref, *,
 @functools.partial(jax.jit, static_argnames=("interpret", "cross_dtype"))
 def _moments_train_pallas(rot, pred_t, model_points, target,
                           interpret=False, cross_dtype=jnp.float32):
-    """(dis, sq, A_t (N,3), B_t (N,3), A_r (N,3,3), B_r (N,3,3)) via the
+    """(dis, var, A_t (N,3), B_t (N,3), A_r (N,3,3), B_r (N,3,3)) via the
     fused training kernel."""
     n = rot.shape[0]
     rot_rows = _pad_cols(
@@ -406,12 +421,10 @@ def _moments_core(quat, trans, points, model_points, target, use_pallas):
     n, m = rot.shape[0], model_points.shape[0]
     # sample std (ddof=1) matches torch.std in the reference loss
     # (/root/reference/DenseFusion/lib/loss.py:52)
-    bessel = m / max(m - 1, 1)
     if _use_kernel(use_pallas):
-        dis, sq = _moments_fwd(rot, pred_t, model_points, target,
-                               cross_dtype=_cross_dtype(use_pallas))
-        var = jnp.maximum(sq - dis * dis, 0.0) * bessel
-        return dis, jnp.sqrt(var)
+        dis, var = _moments_fwd(rot, pred_t, model_points, target,
+                                cross_dtype=_cross_dtype(use_pallas))
+        return dis, jnp.sqrt(jnp.maximum(var, 0.0))
     dmin = _map_chunked(
         lambda r, pt: _dmin_candidate(r, pt, model_points, target),
         (rot, pred_t), n, _chunk_size(n, m))
@@ -443,13 +456,11 @@ def _sym_moments_fwd(quat, trans, points, model_points, target, use_pallas):
     if _use_kernel(use_pallas):
         # training path: ONE kernel pass emits moments + gradient
         # precursors; the backward is a cheap linear combination
-        m = model_points.shape[0]
-        bessel = m / max(m - 1, 1)
         rot = T.quat_to_mat(quat)
-        dis, sq, a_t, b_t, a_r, b_r = _moments_train_pallas(
+        dis, var, a_t, b_t, a_r, b_r = _moments_train_pallas(
             rot, points + trans, model_points, target,
             cross_dtype=_cross_dtype(use_pallas))
-        std = jnp.sqrt(jnp.maximum(sq - dis * dis, 0.0) * bessel)
+        std = jnp.sqrt(jnp.maximum(var, 0.0))
         return (dis, std), (quat, None, None, None, None,
                             (a_t, b_t, a_r, b_r))
     out = _moments_core(quat, trans, points, model_points, target, use_pallas)
@@ -486,8 +497,14 @@ def _sym_moments_bwd(use_pallas, res, grads):
         # d dis/d pred_i = diff_i/(M*dmin_i); sample std (ddof=1):
         # d std/d pred_i = (dmin_i - dis)/((M-1)*std) * diff_i/dmin_i
         w_dis = gd / m
-        w_std = gs * (dmin - dis_c) / (max(m - 1, 1)
-                                       * jnp.maximum(std_c, 1e-12))
+        # clip to the algebraic bound |(dmin-dis)/((M-1) std)| <=
+        # 1/sqrt(M-1): a no-op on healthy values, bounds the gradient when
+        # the forward's std (saved) and the recomputed dmin disagree at the
+        # rounding floor (near-constant matched distances)
+        wcap = 1.0 / float(max(m - 1, 1)) ** 0.5
+        w_std = gs * jnp.clip(
+            (dmin - dis_c) / (max(m - 1, 1) * jnp.maximum(std_c, 1e-12)),
+            -wcap, wcap)
         g_pred = diff / dmin[:, None] * (w_dis + w_std)[:, None]  # (M, 3)
         g_t = jnp.sum(g_pred, axis=0)
         g_rot = jnp.einsum("mi,mj->ij", g_pred, model_points, precision=_HI)

@@ -112,7 +112,8 @@ def estimator_step(pose_vars, opt_state, batch, w, posenet, tx,
     updates, opt_state = tx.update(grads, opt_state, pose_vars["params"])
     params = optax.apply_updates(pose_vars["params"], updates)
     new_vars = {**pose_vars, "params": params}
-    return new_vars, opt_state, {"loss": loss, "dis": jnp.mean(dis)}
+    return new_vars, opt_state, {"loss": loss, "dis": jnp.mean(dis),
+                                 "gnorm": optax.global_norm(grads)}
 
 
 @functools.partial(jax.jit, static_argnames=("posenet", "refiner", "tx",
@@ -299,7 +300,7 @@ def train(state: TrainerState, train_batches: Iterable, test_batches,
         # per-epoch derived stream so a resumed run replays the identical
         # dropout/noise sequence the uninterrupted run would have used
         rng = jax.random.fold_in(jax.random.PRNGKey(1234), epoch)
-        epoch_losses, epoch_dis = [], []
+        epoch_losses, epoch_dis, epoch_gnorms = [], [], []
         for batch in train_batches():
             rng, sub = jax.random.split(rng)
             batch = dict(batch)
@@ -320,6 +321,7 @@ def train(state: TrainerState, train_batches: Iterable, test_batches,
                     state.posenet, state.tx, cfg.with_sym,
                     getattr(cfg, "sym_bf16", False))
                 epoch_losses.append(float(metrics["loss"]))
+                epoch_gnorms.append(float(metrics["gnorm"]))
             epoch_dis.append(float(metrics["dis"]))
 
         test_dis, test_terr = [], []
@@ -344,6 +346,7 @@ def train(state: TrainerState, train_batches: Iterable, test_batches,
 
         log.append(losses=float(np.mean(epoch_losses or [0.0])),
                    train_dists=float(np.mean(epoch_dis or [0.0])),
+                   grad_norm_max=float(np.max(epoch_gnorms or [0.0])),
                    test_dists=test_mean,
                    test_t_errs=float(np.mean(test_terr)) if test_terr
                    else float("nan"),

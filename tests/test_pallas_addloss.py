@@ -45,14 +45,13 @@ def test_xla_path_matches_direct():
 def test_pallas_interpret_matches():
     quat, trans, points, model, target = inputs(1)
     rot = T.quat_to_mat(quat)
-    dis_p, sq_p = pa._moments_fwd(rot, points + trans, model, target,
-                                  interpret=True)
+    dis_p, var_p = pa._moments_fwd(rot, points + trans, model, target,
+                                   interpret=True)
     want_dis, want_std = reference_moments(quat, trans, points, model, target)
     np.testing.assert_allclose(np.asarray(dis_p), np.asarray(want_dis),
                                atol=1e-5)
-    m = model.shape[0]
-    var = np.maximum(np.asarray(sq_p) - np.asarray(dis_p) ** 2, 0) * m / (m - 1)
-    np.testing.assert_allclose(np.sqrt(var), np.asarray(want_std), atol=1e-4)
+    np.testing.assert_allclose(np.sqrt(np.maximum(np.asarray(var_p), 0.0)),
+                               np.asarray(want_std), atol=1e-4)
 
 
 @pytest.mark.slow
@@ -119,10 +118,9 @@ def _train_kernel_grads(quat, trans, points, model, target, gd, gs):
     from autoposeestimation_tpu.utils import transforms as TT
 
     rot = TT.quat_to_mat(quat)
-    dis, sq, a_t, b_t, a_r, b_r = pa._moments_train_pallas(
+    dis, var, a_t, b_t, a_r, b_r = pa._moments_train_pallas(
         rot, points + trans, model, target, interpret=True)
-    m = model.shape[0]
-    std = jnp.sqrt(jnp.maximum(sq - dis * dis, 0.0) * m / (m - 1))
+    std = jnp.sqrt(jnp.maximum(var, 0.0))
     g_t = gd[:, None] * a_t + gs[:, None] * b_t
     g_rot = gd[:, None, None] * a_r + gs[:, None, None] * b_r
     g_q = jax.vmap(lambda q, gr: jax.grad(
@@ -179,3 +177,66 @@ def test_train_kernel_interpret_wrap_padded_targets():
     _, ga_t, _ = jax.grad(loss_auto, argnums=(0, 1, 2))(quat, trans, points)
     assert np.isfinite(np.asarray(g_t)).all()
     np.testing.assert_allclose(np.asarray(g_t), np.asarray(ga_t), atol=1e-4)
+
+
+def _sphere_inputs(n=8, m=200, noise=2e-6, seed=5):
+    """Near-degenerate case: model/target are the SAME sphere surface, so
+    matched distances are nearly constant (std ~ noise). This is the regime
+    that collapsed round-4 TPU training: one-pass var = mean(d^2) - dis^2
+    cancels catastrophically, std clamps to 1e-12, and the std-gradient
+    weight (dmin - dis)/((M-1) std) explodes ~1e6x past its algebraic bound
+    1/sqrt(M-1)."""
+    rng = np.random.default_rng(seed)
+    phi = rng.uniform(0, 2 * np.pi, m)
+    cth = rng.uniform(-1, 1, m)
+    sth = np.sqrt(1 - cth ** 2)
+    sphere = 0.05 * np.stack([sth * np.cos(phi), sth * np.sin(phi), cth], 1)
+    model = jnp.asarray(sphere, jnp.float32)
+    target = jnp.asarray(sphere + rng.normal(size=(m, 3)) * noise +
+                         [0.1, 0.0, 0.0], jnp.float32)
+    quat = jnp.asarray(rng.normal(size=(n, 4)), jnp.float32)
+    trans = jnp.asarray(np.tile([[0.1, 0.0, 0.0]], (n, 1)), jnp.float32)
+    points = jnp.zeros((n, 3), jnp.float32)
+    return quat, trans, points, model, target
+
+
+def test_degenerate_sphere_gradient_bounded_xla():
+    """Fallback path: gradients stay near the algebraic bound on the
+    near-constant-matched-distance case (regression for the round-4
+    training collapse)."""
+    quat, trans, points, model, target = _sphere_inputs()
+
+    def loss(q, t, p):
+        dis, std = pa.sym_moments(q, t, p, model, target, False)
+        return jnp.sum(dis + 2.0 * std)
+
+    g_q, g_t, g_p = jax.grad(loss, argnums=(0, 1, 2))(quat, trans, points)
+    for g in (g_q, g_t, g_p):
+        a = np.asarray(g)
+        assert np.isfinite(a).all()
+        # exact-math scale: |d(dis+2 std)/d pred_i| <= 1/M + 2/sqrt(M-1),
+        # summed over M points and chained through R(q)/t => O(sqrt(M)).
+        # Pre-fix this blew up to ~1e6.
+        assert np.abs(a).max() < 50.0, np.abs(a).max()
+
+
+def test_degenerate_sphere_gradient_bounded_train_kernel():
+    """Fused train kernel (interpret): precursor-combined gradients stay
+    bounded AND the centered variance matches the two-pass std."""
+    quat, trans, points, model, target = _sphere_inputs()
+    gd = jnp.ones((quat.shape[0],), jnp.float32)
+    gs = jnp.full((quat.shape[0],), 2.0, jnp.float32)
+    dis, std, g_q, g_t = _train_kernel_grads(
+        quat, trans, points, model, target, gd, gs)
+    want_dis, want_std = reference_moments(quat, trans, points, model, target)
+    # rtol 1e-3: bf16x3 d2 noise (~1.5e-7 absolute on d2) is visible
+    # against the ~1e-6 true spread of this deliberately degenerate case
+    np.testing.assert_allclose(np.asarray(dis), np.asarray(want_dis),
+                               rtol=1e-3, atol=5e-6)
+    # centered variance resolves the true tiny spread instead of clamping
+    np.testing.assert_allclose(np.asarray(std), np.asarray(want_std),
+                               rtol=0.2, atol=2e-6)
+    for g in (g_q, g_t):
+        a = np.asarray(g)
+        assert np.isfinite(a).all()
+        assert np.abs(a).max() < 50.0, np.abs(a).max()
