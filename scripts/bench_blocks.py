@@ -82,8 +82,12 @@ def bench_module(name, module, in_shape, flops, bwd=True):
             return (module.apply(v, xx) ** 2).sum()
 
         g = jax.grad(f, argnums=(0, 1))(variables, x0 + c)
-        leaf = jax.tree_util.tree_leaves(g)[0]
-        return (leaf.sum() * 0).astype(jnp.float32), leaf.reshape(-1)[0]
+        # keep EVERY grad leaf live: reducing only leaves[0] lets XLA DCE
+        # most of the backward for multi-submodule nets (the shallowest
+        # param's wgrad needs no dgrad chain) — bogusly free bwd timings
+        tot = sum(jnp.sum(l.astype(jnp.float32))
+                  for l in jax.tree_util.tree_leaves(g))
+        return (tot * 0).astype(jnp.float32), tot
 
     # fwd+bwd of a conv stack is ~3x fwd FLOPs (dgrad + wgrad)
     t = scan_time(fwdbwd, jnp.float32(0))
