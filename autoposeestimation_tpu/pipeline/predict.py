@@ -72,6 +72,10 @@ class PredictionModels(NamedTuple):
     # 1 = the reference-exact full-res decoder (opt-out). Weights are
     # stride-interchangeable (identical param tree).
     emb_stride: int = 8
+    # space-to-batch lowering of the PSPNet's dilated blocks (exact conv
+    # relowering, identical param tree — models/resnet.BasicBlockPlain).
+    # Same A/B protocol as emb_stride: flipped only on measured evidence.
+    dil_s2b: bool = False
 
 
 def static_tuple(models: "PredictionModels", refine_iters: Optional[int] = None):
@@ -326,11 +330,12 @@ def build_models(num_classes_fg: int, model_points: np.ndarray,
                  seed: int = 0, img_hw=(480, 640),
                  agg_topk: int = 1, cca_scale: int = 8,
                  cca_sweeps: int = 3,
-                 emb_stride: int = 8) -> PredictionModels:
+                 emb_stride: int = 8,
+                 dil_s2b: bool = False) -> PredictionModels:
     """Construct (or wrap loaded) model variables into a PredictionModels."""
     seg_model = unet.UNet(classes=num_classes_fg + 1, dtype=dtype)
     posenet = densefusion.PoseNet(num_obj=num_classes_fg, dtype=dtype,
-                                  emb_stride=emb_stride)
+                                  emb_stride=emb_stride, dil_s2b=dil_s2b)
     refiner = densefusion.PoseRefineNet(num_obj=num_classes_fg, dtype=dtype)
     k0, k1, k2 = jax.random.split(jax.random.PRNGKey(seed), 3)
     if seg_vars is None:
@@ -350,7 +355,7 @@ def build_models(num_classes_fg: int, model_points: np.ndarray,
         seg_model, seg_vars, posenet, pose_vars, refiner, refine_vars,
         tuple(classes), jnp.asarray(model_points, jnp.float32),
         num_points, crop, refine_iters, agg_topk, cca_scale, cca_sweeps,
-        emb_stride)
+        emb_stride, dil_s2b)
 
 
 def get_prediction_models(root: str, data_set_name: str,

@@ -69,6 +69,33 @@ def test_full_prediction_jit_reuses_compilation(models):
     assert predict._full_prediction_jit._cache_size() == t
 
 
+def test_full_prediction_dil_s2b_parity(models):
+    """The space-to-batch lowering of the PSPNet's dilated blocks is an exact
+    conv relowering with an identical param tree (models/resnet.BasicBlockPlain)
+    — the SERVING graph must produce identical predictions with it on. Guards
+    the build_models threading, not the block math (tests/test_models.py)."""
+    image, depth, meta = scene()
+    m_s2b = predict.build_models(
+        num_classes_fg=2, model_points=np.asarray(models.model_points),
+        classes=models.classes, num_points=64, crop=32, refine_iters=2,
+        dtype=jnp.float32, img_hw=(H, W), dil_s2b=True)
+    assert m_s2b.posenet.dil_s2b
+    # identical param tree -> share the base build's weights verbatim
+    m_s2b = m_s2b._replace(seg_vars=models.seg_vars,
+                           pose_vars=models.pose_vars,
+                           refine_vars=models.refine_vars)
+    base = predict.full_prediction(image, depth, meta, models,
+                                   key=jax.random.PRNGKey(0))
+    out = predict.full_prediction(image, depth, meta, m_s2b,
+                                  key=jax.random.PRNGKey(0))
+    assert set(out["predictions"]) == set(base["predictions"])
+    for cls, p in base["predictions"].items():
+        q = out["predictions"][cls]
+        np.testing.assert_array_equal(p["mask"], q["mask"])
+        np.testing.assert_allclose(q["position"], p["position"], atol=1e-5)
+        np.testing.assert_allclose(q["rotation"], p["rotation"], atol=1e-5)
+
+
 def test_get_robot2object(models):
     class FakeController:
         def get_pose(self, return_mm=True):
