@@ -107,7 +107,7 @@ def emit_mfu(metric, flops_name, dt, scale=1.0):
 
 
 def main():
-    from autoposeestimation_tpu.models import unet
+    from autoposeestimation_tpu.models import densefusion, unet
     from autoposeestimation_tpu.ops import bg_subtraction as bgs
     from autoposeestimation_tpu.ops import pallas_addloss as pa
     from autoposeestimation_tpu.train import densefusion as dft
@@ -242,6 +242,28 @@ def main():
     dt_single = scan_seconds(single_default)
     emit("full_prediction_fps_640x480_5obj_single", 1.0 / dt_single,
          "frames/sec", 30.0)
+
+    # --- space-to-batch dilated-block lowering A/B (exact relowering;
+    # same weights/param tree — models/resnet.BasicBlockPlain). Measured in
+    # the same process/tunnel phase as the default line above; a default
+    # flip requires this ratio < 1 reproducibly.
+    models_s2b = models._replace(posenet=densefusion.PoseNet(
+        num_obj=num_classes, dtype=jnp.bfloat16,
+        emb_stride=models.emb_stride, dil_s2b=True))
+    static_s2b = predict.static_tuple(models_s2b)
+
+    def single_s2b(k):
+        out = predict._full_prediction_jit(
+            models_s2b.seg_vars, models_s2b.pose_vars,
+            models_s2b.refine_vars,
+            image0, depth0, intr2, jnp.float32(0.001), k, static_s2b)
+        return out["positions"]
+
+    dt_s2b = scan_seconds(single_s2b)
+    emit("full_prediction_fps_640x480_5obj_s2b", 1.0 / dt_s2b,
+         "frames/sec", 30.0)
+    emit("s2b_over_default_time_ratio", dt_s2b / dt_single,
+         "x (<1 = s2b faster)")
 
     def batched(k):
         out = predict._full_prediction_batched_jit(
