@@ -287,7 +287,17 @@ def _train_kernel(pred_t_ref, rot_ref, model_ref, target_ref, out_ref, *,
                 + jnp.dot(ind, tl, preferred_element_type=jnp.float32)
         row_norm = mn[:, 3:4]
         matched = mn[:, :3] / row_norm
-        u = (pred - matched) / jnp.maximum(dmin, 1e-12)  # (M, 3)
+        # normalize u by the DIRECT ||pred - matched||, not the
+        # expansion-form dmin: d2 = ||p||^2+||t||^2-2pt carries ~1e-7
+        # absolute rounding error, so for matched distances under ~4e-4 m
+        # (routine once a symmetric object converges) dmin can clamp to 0
+        # while diff is ~1e-4 — u then blows up ~1e8x instead of staying
+        # unit-norm. This was the round-4 recurring-gradient-spike bug
+        # (grad norms 1e4-2e5 every few epochs, each poisoning Adam's
+        # second moment for dozens of epochs).
+        diff = pred - matched                          # (M, 3)
+        dn2 = jnp.sum(diff * diff, axis=1, keepdims=True)
+        u = diff / jnp.sqrt(jnp.maximum(dn2, 1e-24))   # (M, 3), ||u|| <= 1
         # |dd_i| <= sqrt(M-1)*std is an algebraic identity, so |wvec| <=
         # 1/sqrt(M-1) in exact arithmetic — the clip is a no-op on healthy
         # values and bounds the gradient under any residual rounding

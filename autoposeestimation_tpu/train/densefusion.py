@@ -75,14 +75,30 @@ class DFConfig:
     # reference's always-DataParallel PSPNet, DenseFusion/lib/network.py:33),
     # 'on', 'off'
     data_parallel: str = "auto"
+    # global-norm gradient clip (see make_optimizer; <=0 disables)
+    grad_clip: float = 10.0
 
 
-def make_optimizer(lr: float) -> optax.GradientTransformation:
-    return optax.inject_hyperparams(optax.adam)(learning_rate=lr)
+def make_optimizer(lr: float,
+                   clip: float = 10.0) -> optax.GradientTransformation:
+    """Adam behind a global-norm gradient clip (deviation from the
+    reference's bare Adam, train.py:90-101: healthy DenseFusion grad norms
+    sit at 1-6, and a single pathological spike inflates Adam's second
+    moment enough to stall training for dozens of epochs afterwards — the
+    round-4 multi-object run lost ~60 epochs to exactly that. The clip is a
+    no-op on healthy steps; clip<=0 restores the bare reference optimizer)."""
+    adam = optax.inject_hyperparams(optax.adam)(learning_rate=lr)
+    if clip and clip > 0:
+        return optax.chain(optax.clip_by_global_norm(clip), adam)
+    return adam
 
 
 def set_lr(opt_state, lr: float):
-    opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+    states = ((opt_state,) if hasattr(opt_state, "hyperparams")
+              else tuple(opt_state))
+    for s in states:
+        if hasattr(s, "hyperparams"):
+            s.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
     return opt_state
 
 
@@ -240,7 +256,8 @@ class TrainerState:
         if ((self.best_test < cfg.refine_margin
              or epoch >= cfg.refine_epoch_margin) and not self.refine_start):
             self.refine_start = True
-            self.refine_tx = make_optimizer(self.lr)
+            self.refine_tx = make_optimizer(
+                self.lr, getattr(cfg, 'grad_clip', 10.0))
             self.refine_opt_state = self.refine_tx.init(
                 self.refine_vars["params"])
 
@@ -260,7 +277,7 @@ def create_trainer(num_obj: int, cfg: Optional[DFConfig] = None,
     refine_vars = refiner.init(
         k1, jnp.zeros((1, n, 3)), jnp.zeros((1, n, 32)),
         jnp.zeros((1,), jnp.int32))
-    tx = make_optimizer(cfg.lr)
+    tx = make_optimizer(cfg.lr, getattr(cfg, 'grad_clip', 10.0))
     opt_state = tx.init(pose_vars["params"])
     return TrainerState(cfg, posenet, refiner, pose_vars, refine_vars,
                         tx, opt_state, lr=cfg.lr, w=cfg.w)
@@ -480,7 +497,8 @@ def resume_trainer(state: TrainerState, out_dir: str) -> TrainerState:
     state.w = float(meta["w"])
     state.opt_state = set_lr(state.opt_state, state.lr)
     if state.refine_start and state.refine_opt_state is None:
-        state.refine_tx = make_optimizer(state.lr)
+        state.refine_tx = make_optimizer(
+            state.lr, getattr(state.cfg, 'grad_clip', 10.0))
         state.refine_opt_state = state.refine_tx.init(
             state.refine_vars["params"])
     like_opt = {"est": state.opt_state}

@@ -31,8 +31,16 @@ def quat_to_mat(q):
 
     Same 9-term expansion as the reference pose loss
     (/root/reference/DenseFusion/lib/loss.py:18-26).
+
+    The normalization floor is 1e-3 (not machine-eps): the gradient of
+    q/||q|| scales as 1/||q||, and this function sits inside the pose loss
+    where the network emits thousands of UNNORMALIZED candidate quats per
+    step — one candidate drifting through ||q|| ~ 1e-5 would inject a ~1e5x
+    gradient spike into the whole batch. The floor bounds that amplification
+    at 1e3 while leaving every ||q|| > 1e-3 input (all real rotations)
+    bit-identical.
     """
-    q = quat_normalize(q)
+    q = quat_normalize(q, eps=1e-3)
     w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
     r00 = 1.0 - 2.0 * (y * y + z * z)
     r01 = 2.0 * (x * y - w * z)

@@ -240,3 +240,56 @@ def test_degenerate_sphere_gradient_bounded_train_kernel():
         a = np.asarray(g)
         assert np.isfinite(a).all()
         assert np.abs(a).max() < 50.0, np.abs(a).max()
+
+
+def test_near_coincident_points_u_bounded_train_kernel():
+    """Regression for the round-4 recurring gradient spikes (grad norms
+    1e4-2e5 every few epochs on TPU): when matched distances are below the
+    expansion-form d2's rounding floor (~4e-4 m at these magnitudes), d2
+    clamps to 0 and the old kernel normalized u = diff / max(dmin, 1e-12)
+    with a ~1e-4 diff — emitting ~1e8x unit vectors. The fix normalizes by
+    the DIRECT ||pred - matched||."""
+    rng = np.random.default_rng(11)
+    m = 64
+    model = jnp.asarray(rng.normal(size=(m, 3)) * 0.05, jnp.float32)
+    # target = model shifted 0.1 m (raises the pp/tt scale so the bf16x3
+    # rounding floor swamps the true 4e-8 d2) ...
+    target = model + jnp.asarray([0.1, 0.0, 0.0], jnp.float32)
+    n = 8
+    # ... and candidates that land each pred point ~2e-4 m from its target
+    quat = jnp.tile(jnp.asarray([[1.0, 0.0, 0.0, 0.0]], jnp.float32), (n, 1))
+    trans = jnp.asarray([0.1, 0.0, 0.0], jnp.float32) + jnp.asarray(
+        rng.normal(size=(n, 3)) * 1e-4, jnp.float32)
+    points = jnp.zeros((n, 3), jnp.float32)
+    gd = jnp.ones((n,), jnp.float32)
+    gs = jnp.zeros((n,), jnp.float32)
+    dis, std, g_q, g_t = _train_kernel_grads(
+        quat, trans, points, model, target, gd, gs)
+    a = np.asarray(g_t)
+    assert np.isfinite(a).all()
+    # exact math: g_t = sum_i u_i / M with ||u_i|| <= 1 -> |g_t| <= 1.
+    # Pre-fix this was ~1e8.
+    assert np.abs(a).max() < 2.0, np.abs(a).max()
+
+
+def test_tiny_quat_gradient_bounded():
+    """quat_to_mat's normalization floor bounds the 1/||q|| gradient
+    amplification for near-zero candidate quats (the loss sees thousands of
+    UNNORMALIZED head outputs per step)."""
+    g_rot = jnp.ones((3, 3), jnp.float32)
+
+    def f(q):
+        return jnp.sum(T.quat_to_mat(q) * g_rot)
+
+    for scale in (1e-7, 1e-5, 1e-3):
+        q = jnp.asarray([1.0, -1.0, 0.5, 0.25], jnp.float32) * scale
+        g = np.asarray(jax.grad(f)(q))
+        assert np.isfinite(g).all()
+        # bound ~ ||g_rot|| * 4 / eps_floor (1e-3); pre-fix 1e-7 quats gave
+        # ~1e7x amplification
+        assert np.abs(g).max() < 5e4, (scale, np.abs(g).max())
+    # and healthy quats are bit-identical to plain normalization
+    q = jnp.asarray([0.9, -0.3, 0.2, 0.1], jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(T.quat_normalize(q)),
+        np.asarray(q / jnp.linalg.norm(q)))
