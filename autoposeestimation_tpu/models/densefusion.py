@@ -118,6 +118,9 @@ class PoseNet(nn.Module):
     # bilinear gather and is the SERVING default via pipeline/predict.
     # build_models — see pspnet.PSPNet for the promotion evidence)
     emb_stride: int = 1
+    # put the reduced-stride decoder's resizes at the last stages (cheap
+    # finer final map — see pspnet.PSPNet.resize_late)
+    emb_resize_late: bool = False
     # space-to-batch lowering of the PSPNet's dilated blocks (exact; shared
     # params — see resnet.BasicBlockPlain)
     dil_s2b: bool = False
@@ -125,6 +128,7 @@ class PoseNet(nn.Module):
     @nn.compact
     def __call__(self, img, cloud, choose, obj_idx, train: bool = False):
         emb_map = PSPNet(dtype=self.dtype, emb_stride=self.emb_stride,
+                         resize_late=self.emb_resize_late,
                          dil_s2b=self.dil_s2b)(img, train=train)
         if self.emb_stride > 1:
             emb = gather_embeddings_bilinear(emb_map, choose,

@@ -89,6 +89,16 @@ class PSPNet(nn.Module):
     embed_dim: int = 32
     dtype: Dtype = jnp.bfloat16
     emb_stride: int = 1
+    # place the reduced-stride decoder's 2x resizes at the LAST stages
+    # instead of the first. The early placement (the original reduced-stride
+    # layout, matching the reference's stage order) pays the dominant
+    # 1024->256 conv at the UPSAMPLED lattice — at stride 4 that is ~16.3
+    # GMAC of the stride-1 path's 22.9 vs ~4.3 when the single resize sits
+    # at the last stage. Same parameter tree either way (conv shapes do not
+    # depend on lattice size); at strides 1 and 8 the two placements are the
+    # identical graph. Like emb_stride itself, flipped only behind the
+    # trained-demo ADD gate (scripts/train_multi_demo.py --serve-strides).
+    resize_late: bool = False
     # lower the dilated layer-3/4 blocks via space-to-batch (exact same
     # math and params, dense-conv MXU lowering — see resnet.BasicBlockPlain)
     dil_s2b: bool = False
@@ -97,15 +107,19 @@ class PSPNet(nn.Module):
     def __call__(self, x, train: bool = False):
         assert self.emb_stride in (1, 2, 4, 8)
         n_resize = {1: 3, 2: 2, 4: 1, 8: 0}[self.emb_stride]
+        if self.resize_late:
+            do_resize = [i >= 3 - n_resize for i in range(3)]
+        else:
+            do_resize = [n_resize > i for i in range(3)]
         f = DilatedResNetNoBN(dtype=self.dtype,
                               dil_s2b=self.dil_s2b)(x.astype(self.dtype))
         p = PSPModule(1024, dtype=self.dtype)(f)
         p = nn.Dropout(0.3, deterministic=not train)(p)
-        p = PSPUpsample(256, dtype=self.dtype, do_resize=n_resize > 0)(p)
+        p = PSPUpsample(256, dtype=self.dtype, do_resize=do_resize[0])(p)
         p = nn.Dropout(0.15, deterministic=not train)(p)
-        p = PSPUpsample(64, dtype=self.dtype, do_resize=n_resize > 1)(p)
+        p = PSPUpsample(64, dtype=self.dtype, do_resize=do_resize[1])(p)
         p = nn.Dropout(0.15, deterministic=not train)(p)
-        p = PSPUpsample(64, dtype=self.dtype, do_resize=n_resize > 2)(p)
+        p = PSPUpsample(64, dtype=self.dtype, do_resize=do_resize[2])(p)
         logits = nn.Conv(self.embed_dim, (1, 1), dtype=jnp.float32)(
             p.astype(jnp.float32))
         return nn.log_softmax(logits, axis=-1)

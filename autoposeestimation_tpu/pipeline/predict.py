@@ -72,6 +72,12 @@ class PredictionModels(NamedTuple):
     # 1 = the reference-exact full-res decoder (opt-out). Weights are
     # stride-interchangeable (identical param tree).
     emb_stride: int = 8
+    # resize placement of the reduced-stride decoder (pspnet.PSPNet.
+    # resize_late): late = the 2x resizes sit at the LAST decoder stages, so
+    # the dominant 1024->256 conv stays on the coarse lattice while the
+    # final embedding map (what the chosen-pixel gather samples) comes out
+    # finer. Gated by the same trained-demo ADD sweep as emb_stride.
+    emb_resize_late: bool = False
     # space-to-batch lowering of the PSPNet's dilated blocks (exact conv
     # relowering, identical param tree — models/resnet.BasicBlockPlain).
     # Same A/B protocol as emb_stride: flipped only on measured evidence.
@@ -331,11 +337,14 @@ def build_models(num_classes_fg: int, model_points: np.ndarray,
                  agg_topk: int = 1, cca_scale: int = 8,
                  cca_sweeps: int = 3,
                  emb_stride: int = 8,
+                 emb_resize_late: bool = False,
                  dil_s2b: bool = False) -> PredictionModels:
     """Construct (or wrap loaded) model variables into a PredictionModels."""
     seg_model = unet.UNet(classes=num_classes_fg + 1, dtype=dtype)
     posenet = densefusion.PoseNet(num_obj=num_classes_fg, dtype=dtype,
-                                  emb_stride=emb_stride, dil_s2b=dil_s2b)
+                                  emb_stride=emb_stride,
+                                  emb_resize_late=emb_resize_late,
+                                  dil_s2b=dil_s2b)
     refiner = densefusion.PoseRefineNet(num_obj=num_classes_fg, dtype=dtype)
     k0, k1, k2 = jax.random.split(jax.random.PRNGKey(seed), 3)
     if seg_vars is None:
@@ -355,7 +364,7 @@ def build_models(num_classes_fg: int, model_points: np.ndarray,
         seg_model, seg_vars, posenet, pose_vars, refiner, refine_vars,
         tuple(classes), jnp.asarray(model_points, jnp.float32),
         num_points, crop, refine_iters, agg_topk, cca_scale, cca_sweeps,
-        emb_stride, dil_s2b)
+        emb_stride, emb_resize_late, dil_s2b)
 
 
 def get_prediction_models(root: str, data_set_name: str,

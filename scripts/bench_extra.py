@@ -249,7 +249,8 @@ def main():
     # flip requires this ratio < 1 reproducibly.
     models_s2b = models._replace(posenet=densefusion.PoseNet(
         num_obj=num_classes, dtype=jnp.bfloat16,
-        emb_stride=models.emb_stride, dil_s2b=True))
+        emb_stride=models.emb_stride,
+        emb_resize_late=models.emb_resize_late, dil_s2b=True))
     static_s2b = predict.static_tuple(models_s2b)
 
     def single_s2b(k):

@@ -193,6 +193,47 @@ def test_pspnet_emb_stride_weight_interchange():
         assert np.isfinite(np.asarray(a)).all()
 
 
+def test_pspnet_resize_late_placement():
+    """resize_late moves the reduced-stride decoder's 2x resizes to the
+    LAST stages (pspnet.PSPNet.resize_late): the parameter tree must be
+    identical (weights interchange with every other stride/placement), the
+    final map resolution must match the early placement at the same stride,
+    and at strides 1 and 8 (all resizes / no resizes) the two placements
+    must be the SAME graph bit-for-bit."""
+    import numpy as np
+    from autoposeestimation_tpu.models.pspnet import PSPNet
+
+    crop = 32
+    yy, xx = np.mgrid[0:crop, 0:crop] / crop
+    img = jnp.asarray(np.stack([yy, xx, yy * xx], -1)[None], jnp.float32)
+
+    nets = {}
+    for stride in (1, 2, 4, 8):
+        for late in (False, True):
+            nets[(stride, late)] = PSPNet(dtype=jnp.float32,
+                                          emb_stride=stride,
+                                          resize_late=late)
+    v0 = nets[(1, False)].init(jax.random.PRNGKey(0), img)
+    struct0 = jax.tree_util.tree_structure(v0)
+    for key, net in nets.items():
+        v = net.init(jax.random.PRNGKey(0), img)
+        assert jax.tree_util.tree_structure(v) == struct0, key
+        for a, b in zip(jax.tree_util.tree_leaves(v),
+                        jax.tree_util.tree_leaves(v0)):
+            assert a.shape == b.shape
+
+    # shared weights: same output resolution per stride; identical graphs
+    # where the placement cannot differ
+    for stride in (1, 2, 4, 8):
+        early = np.asarray(nets[(stride, False)].apply(v0, img))
+        late = np.asarray(nets[(stride, True)].apply(v0, img))
+        assert early.shape == late.shape == (
+            1, crop // stride, crop // stride, 32)
+        assert np.isfinite(late).all()
+        if stride in (1, 8):
+            np.testing.assert_array_equal(early, late)
+
+
 def test_gather_embeddings_bilinear_exact_on_linear_field():
     """Bilinear gather of a stride-s map must exactly reproduce a linear
     field at every full-res pixel center away from the clamped border."""
