@@ -78,11 +78,14 @@ class PSPNet(nn.Module):
     the three upsample convs shrink from 80^2/160^2/320^2 to 40^2 lattices,
     cutting the serving graph's largest FLOP block ~2x; consumers
     bilinearly interpolate the ~1000 chosen pixels (densefusion.
-    gather_embeddings_bilinear). Stride 8 is the SERVING default
-    (PredictionModels/build_models; 68.8 -> 121.7 fps at the headline
-    geometry), gated by the trained-serving A/B in
-    scripts/train_synthetic_demo.py — position error within 2 mm of the
-    full-res path in all three round-3 demo artifacts. Training and the
+    gather_embeddings_bilinear). Round-4 ADD-gated evidence
+    (artifacts/stride_sweep_round4*.json, 5-class trained demo): stride 8
+    holds every NON-symmetric class within 2 mm ADD of stride 1, but
+    SYMMETRIC classes regress ~16 mm at any stride > 2 regardless of
+    resize placement — their orientation needs the decoder convs ON the
+    fine lattice (early placement), not a fine map interpolated from
+    coarse convs. pipeline/predict.get_prediction_models auto-selects
+    8-or-2 from the dataset's symmetry flags. Training and the
     torch-parity paths stay at the reference-exact stride 1 (this module's
     default)."""
 

@@ -63,12 +63,17 @@ class PredictionModels(NamedTuple):
     # untrained net otherwise run the loop to its 64-iteration cap)
     cca_sweeps: int = 3
     # PSPNet embedding decoder output stride (models/pspnet.PSPNet).
-    # Serving default 8: the three decoder convs (80^2/160^2/320^2 lattices,
-    # ~250 of the frame's 530 GFLOP) run at 40^2 with bilinear gather of the
-    # chosen pixels — measured 68.8 -> 121.7 fps at the headline geometry.
-    # Promotion is evidence-gated (r2 VERDICT task 1c): the trained-serving
-    # A/B in scripts/train_synthetic_demo.py holds position error within
-    # 2 mm of the full-res path in all three round-3 demo artifacts.
+    # Constructor default 8: the three decoder convs (80^2/160^2/320^2
+    # lattices, ~250 of the frame's 530 GFLOP) run at 40^2 with bilinear
+    # gather of the chosen pixels — measured 68.8 -> 121.7 fps at the
+    # headline geometry. Round-4 ADD-gated verdict (the round-3 gate was
+    # translation-only and blind to the failure mode): NON-symmetric
+    # classes hold ADD within 2 mm of the stride-1 graph at stride 8, but
+    # SYMMETRIC classes regress ~16 mm at any stride > 2, at any resize
+    # placement (artifacts/stride_sweep_round4*.json). The product loader
+    # get_prediction_models therefore auto-selects 8 or 2 from the
+    # dataset's symmetry flags; 8 stays the constructor default for the
+    # explicit-args path (bench/tests build non-symmetric scenes).
     # 1 = the reference-exact full-res decoder (opt-out). Weights are
     # stride-interchangeable (identical param tree).
     emb_stride: int = 8
@@ -367,15 +372,48 @@ def build_models(num_classes_fg: int, model_points: np.ndarray,
         emb_stride, emb_resize_late, dil_s2b)
 
 
+def dataset_has_symmetric(root: str, classes) -> bool:
+    """True if any class's acquisition meta carries symmetric=1 (the same
+    per-sample key data/pose_dataset.PoseDataset reads for the sym loss)."""
+    from ..utils import io
+
+    data_root = io.data_dir(root)
+    for cls in classes:
+        obj_dir = os.path.join(data_root, cls)
+        try:
+            run = sorted(os.listdir(obj_dir))[0]
+            run_dir = os.path.join(obj_dir, run)
+            metas = sorted(f for f in os.listdir(run_dir)
+                           if f.endswith(".meta.json"))
+            meta = io.read_sample_meta(os.path.join(run_dir, metas[0]))
+        except (OSError, IndexError):
+            continue
+        if bool(meta.get("symmetric", 0)):
+            return True
+    return False
+
+
 def get_prediction_models(root: str, data_set_name: str,
-                          dtype=jnp.bfloat16) -> PredictionModels:
+                          dtype=jnp.bfloat16,
+                          emb_stride: Optional[int] = None) -> PredictionModels:
     """Load classes, per-class model clouds (mm -> m), and trained weights —
-    parity with /root/reference/pipeline/utils.py:643-718."""
+    parity with /root/reference/pipeline/utils.py:643-718.
+
+    emb_stride=None auto-selects the embedding-decoder stride from the
+    dataset's symmetry flags (the round-4 trained-demo ADD sweeps,
+    artifacts/stride_sweep_round4*.json): every non-symmetric class serves
+    within 2 mm ADD of the stride-1 graph at stride 8, but symmetric
+    classes regress ~16 mm at any stride > 2 (and at ANY resize placement
+    — the decoder convs must run on the fine lattice; interpolating a
+    coarse map cannot synthesize the high-frequency embedding detail their
+    orientation needs). So: no symmetric class -> 8, else 2."""
     from ..utils import io
     from ..train import checkpoints as ckpt
 
     classes = io.read_lines(os.path.join(
         io.dataset_dir(root, "segmentation", data_set_name), "classes.txt"))
+    if emb_stride is None:
+        emb_stride = 2 if dataset_has_symmetric(root, classes) else 8
     clouds = []
     max_m = 0
     for cls in classes:
@@ -398,7 +436,8 @@ def get_prediction_models(root: str, data_set_name: str,
         os.path.join(pose_dir, "pose_refine_model.npz"))["variables"]
     return build_models(len(classes), model_points, classes,
                         seg_vars=seg_vars, pose_vars=pose_vars,
-                        refine_vars=refine_vars, dtype=dtype)
+                        refine_vars=refine_vars, dtype=dtype,
+                        emb_stride=emb_stride)
 
 
 def _intr_vec(meta: Dict) -> np.ndarray:

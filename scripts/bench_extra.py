@@ -492,12 +492,17 @@ def trained_multi_headline_line(demo_root="/tmp/autopose_multi"):
         pts = io.read_xyz(os.path.join(io.pc_dir(demo_root), c,
                                        c + ".xyz")) / 1000.0
         model_points[i] = pts[np.arange(MULTI_NUM_PT) % len(pts)]
+    # the multi-demo system has a symmetric class -> the product default
+    # for it is emb_stride=2 (predict.get_prediction_models auto-selection;
+    # round-4 ADD sweep evidence)
     models = predict.build_models(
         num_classes_fg=len(classes), model_points=model_points,
         classes=tuple(classes), seg_vars=seg_vars, pose_vars=pose_vars,
         refine_vars=refine_vars, num_points=MULTI_NUM_PT, crop=MULTI_CROP,
         refine_iters=2 if refine_vars is not None else 0,
-        dtype=jnp.bfloat16, img_hw=(cfg.img_h, cfg.img_w))
+        dtype=jnp.bfloat16, img_hw=(cfg.img_h, cfg.img_w),
+        emb_stride=2 if predict.dataset_has_symmetric(demo_root, classes)
+        else 8)
     static = predict.static_tuple(models)
 
     test_stems = io.read_lines(os.path.join(

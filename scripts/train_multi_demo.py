@@ -113,10 +113,13 @@ def main():
                         help="'auto' measures both eval tables; 'yes'/'no' "
                              "skips the eval stage (serve-only sweeps where "
                              "the refine decision is already on record)")
-    parser.add_argument("--serve-strides", default="8",
+    parser.add_argument("--serve-strides", default="2",
                         help="comma list of emb_stride values to serve and "
-                             "ADD-gate against the stride-1 re-serve; first "
-                             "entry is the artifact's 'serving' record")
+                             "ADD-gate against the stride-1 re-serve ('4L' "
+                             "= stride 4 resize_late); first entry is the "
+                             "artifact's 'serving' record. Default 2 = the "
+                             "product auto-selection for this scene (it "
+                             "has a symmetric class)")
     parser.add_argument("--artifact", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "artifacts", "demo_multi_round4.json"))

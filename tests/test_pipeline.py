@@ -256,3 +256,36 @@ def test_serve_stream_matches_sequential(models):
     for d in lite:
         for p in d["predictions"].values():
             assert "mask" not in p and "position" in p
+
+
+def test_symmetry_aware_emb_stride_autoselect(tmp_path_factory):
+    """get_prediction_models auto-selects the embedding-decoder stride from
+    the dataset's symmetry flags (round-4 trained-demo ADD sweeps,
+    artifacts/stride_sweep_round4*.json: symmetric classes regress ~16 mm
+    ADD at any stride > 2; every non-symmetric class passes at 8)."""
+    import numpy as np
+
+    from autoposeestimation_tpu.utils import synthetic
+
+    cfg = synthetic.SynthConfig(img_h=64, img_w=80, fx=120.0, fy=120.0,
+                                n_viewpoints=3)
+
+    root_sym = str(tmp_path_factory.mktemp("sym"))
+    synthetic.make_dataset(root_sym, cfg=cfg, objects=[
+        synthetic.SphereObject("a", np.asarray([40.0, 0.0, 35.0]), 35.0,
+                               (200, 40, 40), symmetric=1),
+        synthetic.SphereObject("b", np.asarray([-50.0, 30.0, 28.0]), 28.0,
+                               (40, 60, 200), symmetric=0)])
+    root_nosym = str(tmp_path_factory.mktemp("nosym"))
+    synthetic.make_dataset(root_nosym, cfg=cfg, objects=[
+        synthetic.SphereObject("a", np.asarray([40.0, 0.0, 35.0]), 35.0,
+                               (200, 40, 40), symmetric=0)])
+
+    import os
+
+    from autoposeestimation_tpu.utils import io
+
+    for root, want in ((root_sym, True), (root_nosym, False)):
+        classes = io.read_lines(os.path.join(
+            io.dataset_dir(root, "segmentation", "synth"), "classes.txt"))
+        assert predict.dataset_has_symmetric(root, classes) is want
