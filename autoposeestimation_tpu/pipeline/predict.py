@@ -499,12 +499,33 @@ def serve_stream(frames, models: "PredictionModels",
     static = static_tuple(models)
     pending = collections.deque()
     frame_no = 0
+    # Per-frame RPC hygiene (each eager device op or device_put through the
+    # tunnel is a full ~RTT round-trip — CLAUDE.md): fold the per-frame key
+    # on the HOST CPU backend (an eager fold_in on the accelerator was one
+    # whole dispatch per frame), and cache the device copies of the
+    # stream-constant intr/depth_scale instead of re-uploading them.
+    try:
+        _cpu = jax.devices("cpu")[0]
+    except (RuntimeError, ValueError):
+        _cpu = None
+    _key_host = jax.device_put(key, _cpu) if _cpu is not None else key
+    _intr_cache = {}
+
+    def _cached_small(meta):
+        iv = _intr_vec(meta)
+        ck = (tuple(np.asarray(iv).tolist()), float(meta["depth_scale"]))
+        if ck not in _intr_cache:
+            _intr_cache[ck] = (jnp.asarray(iv),
+                               jnp.float32(meta["depth_scale"]))
+        return _intr_cache[ck]
+
     for image, depth, meta in frames:
+        intr_d, scale_d = _cached_small(meta)
+        k = jax.random.fold_in(_key_host, frame_no)
         out = _full_prediction_jit(
             models.seg_vars, models.pose_vars, models.refine_vars,
             jnp.asarray(image), jnp.asarray(depth, jnp.float32),
-            jnp.asarray(_intr_vec(meta)), jnp.float32(meta["depth_scale"]),
-            jax.random.fold_in(key, frame_no), static)
+            intr_d, scale_d, k, static)
         # start the D2H transfers NOW (non-blocking): by the time this
         # frame reaches the front of the queue its outputs are already on
         # the host, so the blocking np.asarray in _materialize doesn't pay

@@ -336,6 +336,24 @@ def main():
         emit(f"serve_stream_fps_640x480_{label_if}_nomasks",
              n_got / dt_all, "frames/sec", 30.0)
 
+    # attribution: the same pipelined loop with DEVICE-RESIDENT frames (no
+    # per-frame H2D at all). The gap between this line and inflight6 is
+    # pure uplink cost; the gap between this line and the scan-serialized
+    # device rate is dispatch/readback RTT — both vanish on local
+    # deployments (the reference's own live loop is host-driven,
+    # /root/reference/main.py:517-530).
+    dev_frames = [(jnp.asarray(images[i % 8]),
+                   jnp.asarray(np.asarray(depths[i % 8], np.float32)),
+                   meta_s) for i in range(40)]
+    n_got = 0
+    t0 = time.perf_counter()
+    for _r in predict.serve_stream(iter(dev_frames), models, in_flight=6,
+                                   want_masks=False,
+                                   key=jax.random.PRNGKey(0)):
+        n_got += 1
+    emit("serve_stream_fps_640x480_inflight6_deviceresident",
+         n_got / (time.perf_counter() - t0), "frames/sec", 30.0)
+
     # --- classical label generation -------------------------------------
     bg_rgb = jnp.asarray(rng.integers(0, 255, (480, 640, 3)), jnp.float32)
     fg_rgb = jnp.asarray(rng.integers(0, 255, (480, 640, 3)), jnp.float32)
