@@ -113,15 +113,30 @@ def pose_loss(pred_r, pred_t, pred_c, target, model_points, points,
 def _refine_loss_single(pred_r, pred_t, target, model_points, points,
                         is_sym, with_sym: bool):
     """One sample refiner loss (lib/loss_refiner.py parity). pred_r (4,),
-    pred_t (3,) — a single global correction."""
+    pred_t (3,) — a single global correction.
+
+    Numerical hardening (round-4 discovery, the refine-phase twin of the
+    train-kernel fix): this loss IS differentiated, and near convergence
+    matched distances go to ~0 — `sqrt` at 0 has an infinite gradient, and
+    the expansion-form d2 (‖p‖²+‖t‖²−2p·t, needed for the MXU matmul)
+    cancels to exactly 0 (or negative) in f32 well before the true
+    distance does. A 120-epoch sym run NaN'd 12 epochs into the refine
+    phase from exactly this. Fix: the expansion form only picks the argmin
+    (integer, no gradient); the matched distance is recomputed in DIRECT
+    form with a 1e-12 eps inside the sqrt — gradient magnitude is then
+    globally bounded by ‖d‖/sqrt(‖d‖²+eps²) < 1, and the 1 µm bias is
+    negligible against millimeter-scale distances."""
     rot = T.quat_to_mat(pred_r)
     pred = jnp.dot(model_points, rot.T, precision=_HI) + pred_t  # (M, 3)
-    per_point = jnp.linalg.norm(pred - target, axis=1)
+    diff = pred - target
+    per_point = jnp.sqrt(jnp.sum(diff * diff, axis=1) + 1e-12)
     if with_sym:
         tt = jnp.sum(target * target, axis=1)
         pp = jnp.sum(pred * pred, axis=1, keepdims=True)
         d2 = pp + tt[None, :] - 2.0 * jnp.dot(pred, target.T, precision=_HI)
-        sym_pp = jnp.sqrt(jnp.maximum(jnp.min(d2, axis=1), 0.0))
+        matched = target[jnp.argmin(d2, axis=1)]          # (M, 3)
+        sdiff = pred - matched
+        sym_pp = jnp.sqrt(jnp.sum(sdiff * sdiff, axis=1) + 1e-12)
         per_point = jnp.where(is_sym, sym_pp, per_point)
     dis = jnp.mean(per_point)
     new_points = jnp.dot(points - pred_t, rot, precision=_HI)

@@ -293,3 +293,35 @@ def test_tiny_quat_gradient_bounded():
     np.testing.assert_array_equal(
         np.asarray(T.quat_normalize(q)),
         np.asarray(q / jnp.linalg.norm(q)))
+
+
+def test_refine_loss_gradient_bounded_at_coincident_points():
+    """The refine-phase twin of the near-coincident-points train-kernel fix
+    (round-4 discovery: a 120-epoch sym run NaN'd 12 epochs into the refine
+    phase). With the target EXACTLY coincident with the predicted points —
+    routine once a converged refiner meets wrap-pad-duplicated targets —
+    the refiner loss gradient must stay finite and bounded on BOTH the
+    symmetric (expansion-form argmin) and non-symmetric branches; the
+    pre-fix sqrt-at-0 forms returned inf/nan."""
+    from autoposeestimation_tpu.models import losses
+
+    rng = np.random.default_rng(0)
+    M = 16
+    model_points = jnp.asarray(rng.normal(size=(1, M, 3)) * 0.05,
+                               jnp.float32)
+    points = jnp.asarray(rng.normal(size=(1, M, 3)) * 0.05, jnp.float32)
+    pred_r = jnp.asarray([[1.0, 0.0, 0.0, 0.0]], jnp.float32)  # identity
+    pred_t = jnp.zeros((1, 3), jnp.float32)
+    target = model_points  # identity correction -> pred == target exactly
+
+    for sym in (True, False):
+        def f(r, t):
+            mean_dis, _, _, _ = losses.refine_loss(
+                r, t, target, model_points, points,
+                jnp.asarray([sym]), with_sym=True)
+            return mean_dis
+        gr, gt = jax.grad(f, argnums=(0, 1))(pred_r, pred_t)
+        for g in (gr, gt):
+            a = np.asarray(g)
+            assert np.isfinite(a).all(), (sym, a)
+            assert np.abs(a).max() < 10.0, (sym, a)
