@@ -140,6 +140,10 @@ def _full_prediction_jit(seg_vars, pose_vars, refine_vars,
     crop, refine_iters) — hashable module refs + ints."""
     (seg_model, posenet, refiner, k_fg, num_points, crop,
      refine_iters, agg_topk, cca_scale, cca_sweeps) = models_static
+    # depth may arrive in the camera's raw dtype (uint16) — casting on
+    # device instead of the host halves the depth uplink bytes on remote
+    # links (serve_stream uploads it as-is)
+    depth = depth.astype(jnp.float32)
 
     probs, pred_arg = _segment(seg_model, seg_vars, image)
 
@@ -224,6 +228,7 @@ def _full_prediction_batched_jit(seg_vars, pose_vars, refine_vars, images,
     multiple of B so SPMD partitioning stays collective-free."""
     (seg_model, posenet, refiner, k_fg, num_points, crop,
      refine_iters, agg_topk, cca_scale, cca_sweeps) = models_static
+    depths = depths.astype(jnp.float32)  # raw-dtype uplink, device cast
     b, h_img, w_img = depths.shape
     lanes = b * k_fg
 
@@ -471,7 +476,7 @@ def _materialize(out: Dict, models: "PredictionModels",
 
 def serve_stream(frames, models: "PredictionModels",
                  in_flight: int = 4, want_masks: bool = True,
-                 key: Optional[jax.Array] = None):
+                 key: Optional[jax.Array] = None, batch: int = 1):
     """Dispatch-ahead pipelined serving loop (generator).
 
     The plain `full_prediction` wrapper is strictly
@@ -482,6 +487,20 @@ def serve_stream(frames, models: "PredictionModels",
     dispatched while frame N's outputs travel back — so steady-state
     throughput approaches the device rate, bounded below by link bandwidth,
     not by link latency.
+
+    `batch` > 1 additionally dispatches that many frames per device call
+    through the fused batched graph (`_full_prediction_batched_jit`, at
+    per-frame compute parity with the single-frame graph since round 4) —
+    the per-dispatch RPC cost is then amortized over the whole batch, so
+    on high-latency links throughput scales ~batch x on top of the
+    dispatch-ahead overlap. Results still come back one frame at a time,
+    in order. Frames are grouped only while their intrinsics/depth_scale
+    match (a change flushes the open batch); a stream tail shorter than
+    `batch` is padded by repeating the last frame (one static graph shape,
+    no recompilation) and the padding outputs are dropped. Per-frame key
+    semantics: batch j (first frame index f0) uses fold_in(key, f0) and the
+    batched graph gives frame i the key split(fold_in(key, f0), B)[i]
+    (pinned by tests/test_pipeline.py::test_serve_stream_batched).
 
     `frames` yields (image, depth, meta) tuples; results come back IN ORDER
     as full_prediction-contract dicts (set want_masks=False to skip the
@@ -519,30 +538,85 @@ def serve_stream(frames, models: "PredictionModels",
                                jnp.float32(meta["depth_scale"]))
         return _intr_cache[ck]
 
-    for image, depth, meta in frames:
-        intr_d, scale_d = _cached_small(meta)
-        k = jax.random.fold_in(_key_host, frame_no)
-        out = _full_prediction_jit(
-            models.seg_vars, models.pose_vars, models.refine_vars,
-            jnp.asarray(image), jnp.asarray(depth, jnp.float32),
-            intr_d, scale_d, k, static)
+    fetched = ["found", "quats", "positions", "cca_converged"] + (
+        ["masks"] if want_masks else [])
+
+    def _prefetch(out):
         # start the D2H transfers NOW (non-blocking): by the time this
-        # frame reaches the front of the queue its outputs are already on
-        # the host, so the blocking np.asarray in _materialize doesn't pay
-        # a fresh link round-trip per tensor
-        fetched = ["found", "quats", "positions", "cca_converged"] + (
-            ["masks"] if want_masks else [])
-        for name in fetched:  # only what _materialize reads
+        # entry reaches the front of the queue its outputs are already on
+        # the host, so the blocking np.asarray in materialization doesn't
+        # pay a fresh link round-trip per tensor
+        for name in fetched:  # only what materialization reads
             try:
                 out[name].copy_to_host_async()
             except (AttributeError, RuntimeError):
                 pass
-        pending.append(out)
-        frame_no += 1
-        if len(pending) > in_flight:
+
+    if batch <= 1:
+        for image, depth, meta in frames:
+            intr_d, scale_d = _cached_small(meta)
+            k = jax.random.fold_in(_key_host, frame_no)
+            out = _full_prediction_jit(
+                models.seg_vars, models.pose_vars, models.refine_vars,
+                jnp.asarray(image), jnp.asarray(depth),
+                intr_d, scale_d, k, static)
+            _prefetch(out)
+            pending.append(out)
+            frame_no += 1
+            if len(pending) > in_flight:
+                yield _materialize(pending.popleft(), models, want_masks)
+        while pending:
             yield _materialize(pending.popleft(), models, want_masks)
+        return
+
+    # --- batched dispatch: `batch` frames per device call ---------------
+    open_key = None        # intr/depth_scale cache key of the open batch
+    open_frames = []       # [(image, depth)] awaiting dispatch
+
+    def _dispatch(items, ck):
+        n_valid = len(items)
+        # pad the tail by repeating the last frame: ONE static graph shape
+        items = items + [items[-1]] * (batch - n_valid)
+        images = np.stack([np.asarray(im) for im, _ in items])
+        # keep the camera's raw depth dtype (the graph casts on device)
+        depths = np.stack([np.asarray(d) for _, d in items])
+        intr_d, scale_d = _intr_cache[ck]
+        k = jax.random.fold_in(_key_host, frame_no)
+        out = _full_prediction_batched_jit(
+            models.seg_vars, models.pose_vars, models.refine_vars,
+            jnp.asarray(images), jnp.asarray(depths), intr_d, scale_d, k,
+            static)
+        _prefetch(out)
+        return out, n_valid
+
+    def _materialize_batch(entry):
+        out, n_valid = entry
+        # one host conversion per array per BATCH, then numpy slicing
+        host = {name: np.asarray(out[name]) for name in fetched}
+        for i in range(n_valid):
+            yield _materialize({name: host[name][i] for name in fetched},
+                               models, want_masks)
+
+    for image, depth, meta in frames:
+        intr_d, scale_d = _cached_small(meta)
+        iv = _intr_vec(meta)
+        ck = (tuple(np.asarray(iv).tolist()), float(meta["depth_scale"]))
+        if open_frames and ck != open_key:
+            pending.append(_dispatch(open_frames, open_key))
+            frame_no += len(open_frames)
+            open_frames = []
+        open_key = ck
+        open_frames.append((image, depth))
+        if len(open_frames) == batch:
+            pending.append(_dispatch(open_frames, open_key))
+            frame_no += batch
+            open_frames = []
+        if len(pending) > in_flight:
+            yield from _materialize_batch(pending.popleft())
+    if open_frames:
+        pending.append(_dispatch(open_frames, open_key))
     while pending:
-        yield _materialize(pending.popleft(), models, want_masks)
+        yield from _materialize_batch(pending.popleft())
 
 
 def full_prediction(image: np.ndarray, depth: np.ndarray, meta: Dict,
@@ -571,7 +645,7 @@ def full_prediction(image: np.ndarray, depth: np.ndarray, meta: Dict,
     with timer.stage("segmentation"):
         out = _full_prediction_jit(
             models.seg_vars, models.pose_vars, models.refine_vars,
-            jnp.asarray(image), jnp.asarray(depth, jnp.float32),
+            jnp.asarray(image), jnp.asarray(depth),
             jnp.asarray(_intr_vec(meta)), jnp.float32(meta["depth_scale"]),
             key, static)
         found = np.asarray(out["found"])

@@ -336,6 +336,19 @@ def main():
         emit(f"serve_stream_fps_640x480_{label_if}_nomasks",
              n_got / dt_all, "frames/sec", 30.0)
 
+    # batched dispatch: 8 frames per device call through the batched graph
+    # (per-frame compute parity since round 4) — amortizes the per-dispatch
+    # RPC cost by 8x, so the host loop is bounded by uplink bandwidth
+    # (~2.1 MB/frame), not dispatch RTT.
+    n_got = 0
+    t0 = time.perf_counter()
+    for _r in predict.serve_stream(iter(frame_list), models, in_flight=2,
+                                   want_masks=False, batch=8,
+                                   key=jax.random.PRNGKey(0)):
+        n_got += 1
+    emit("serve_stream_fps_640x480_batch8_inflight2_nomasks",
+         n_got / (time.perf_counter() - t0), "frames/sec", 30.0)
+
     # attribution: the same pipelined loop with DEVICE-RESIDENT frames (no
     # per-frame H2D at all). The gap between this line and inflight6 is
     # pure uplink cost; the gap between this line and the scan-serialized

@@ -53,6 +53,25 @@ def test_full_prediction_contract(models):
         np.testing.assert_allclose(np.linalg.norm(p["rotation"]), 1.0, atol=1e-4)
 
 
+def test_full_prediction_uint16_depth(models):
+    """The serving graphs cast depth on DEVICE, so callers can upload the
+    camera's raw uint16 frames (half the depth uplink bytes on remote
+    links). Integer-valued uint16 and float32 depth must predict
+    identically."""
+    image, depth, meta = scene()  # depth is integer-valued (800.0 mm)
+    key = jax.random.PRNGKey(5)
+    out_f32 = predict.full_prediction(image, depth.astype(np.float32),
+                                      meta, models, key=key)
+    out_u16 = predict.full_prediction(image, depth.astype(np.uint16),
+                                      meta, models, key=key)
+    assert set(out_f32["predictions"]) == set(out_u16["predictions"])
+    for cls, p in out_f32["predictions"].items():
+        np.testing.assert_array_equal(out_u16["predictions"][cls]["mask"],
+                                      p["mask"])
+        np.testing.assert_allclose(out_u16["predictions"][cls]["position"],
+                                   p["position"], atol=1e-6)
+
+
 def test_full_prediction_depth_gate(models):
     image, depth, meta = scene()
     depth[:] = 0.0  # no depth anywhere -> no pose for any class
@@ -256,6 +275,52 @@ def test_serve_stream_matches_sequential(models):
     for d in lite:
         for p in d["predictions"].values():
             assert "mask" not in p and "position" in p
+
+
+def test_serve_stream_batched(models):
+    """batch>1 dispatches B frames per device call through the batched
+    graph. Semantics pinned: frame i of the batch starting at stream index
+    f0 equals the single-frame graph run with key
+    split(fold_in(key, f0), batch)[i - f0]; a tail shorter than `batch` is
+    pad-by-repeat (same static shape) with the padding outputs dropped."""
+    rng = np.random.default_rng(7)
+    n, b = 5, 3  # 5 frames, batch 3 -> one full batch + a padded tail of 2
+    frames = []
+    for i in range(n):
+        image = rng.integers(0, 255, (H, W, 3)).astype(np.uint8)
+        image[30:70, 40:100] = (210, 40, 40)
+        depth = np.full((H, W), 750.0 + 10 * i, np.float32)
+        meta = {"intr": Intrinsics(width=W, height=H, ppx=W / 2, ppy=H / 2,
+                                   fx=120.0, fy=120.0),
+                "depth_scale": 0.001}
+        frames.append((image, depth, meta))
+
+    key = jax.random.PRNGKey(23)
+    got = list(predict.serve_stream(iter(frames), models, in_flight=1,
+                                    key=key, batch=b))
+    assert len(got) == n
+    for i, (image, depth, meta) in enumerate(frames):
+        f0 = (i // b) * b
+        k_i = jax.random.split(jax.random.fold_in(key, f0), b)[i - f0]
+        want = predict.full_prediction(image, depth, meta, models, key=k_i)
+        assert set(got[i]["predictions"]) == set(want["predictions"])
+        for cls, p in want["predictions"].items():
+            np.testing.assert_allclose(
+                got[i]["predictions"][cls]["position"], p["position"],
+                atol=1e-5)
+            np.testing.assert_array_equal(
+                got[i]["predictions"][cls]["mask"], p["mask"])
+
+    # an intrinsics change mid-stream flushes the open batch (results stay
+    # in order and none are dropped)
+    frames2 = [frames[0], frames[1],
+               (frames[2][0], frames[2][1],
+                {"intr": Intrinsics(width=W, height=H, ppx=W / 2, ppy=H / 2,
+                                    fx=150.0, fy=150.0),
+                 "depth_scale": 0.001})]
+    got2 = list(predict.serve_stream(iter(frames2), models, in_flight=1,
+                                     key=key, batch=b, want_masks=False))
+    assert len(got2) == 3
 
 
 def test_symmetry_aware_emb_stride_autoselect(tmp_path_factory):
