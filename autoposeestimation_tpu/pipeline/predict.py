@@ -99,6 +99,22 @@ def static_tuple(models: "PredictionModels", refine_iters: Optional[int] = None)
             models.agg_topk, models.cca_scale, models.cca_sweeps)
 
 
+def _pack_masks(masks):
+    """Bit-pack boolean masks (..., H, W) -> (..., H, W//8) uint8, MSB-first
+    (np.unpackbits order). The per-class masks dominate the serving graph's
+    D2H bytes (K x H x W bool = ~1.5 MB/frame at 640x480 x 5 classes); the
+    packed form is 8x smaller on the wire. Callers only use this when
+    W % 8 == 0 (true for every reference resolution)."""
+    m = masks.reshape(masks.shape[:-1] + (-1, 8)).astype(jnp.uint32)
+    weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint32)
+    return (m * weights).sum(-1).astype(jnp.uint8)
+
+
+def _unpack_masks(packed: np.ndarray) -> np.ndarray:
+    """Host inverse of _pack_masks: (..., H, W//8) uint8 -> (..., H, W) bool."""
+    return np.unpackbits(packed, axis=-1).astype(bool)
+
+
 def _segment(seg_model, seg_vars, image):
     x = normalize_imagenet(image)[None]
     logits = seg_model.apply(seg_vars, x)[0]
@@ -184,7 +200,7 @@ def _full_prediction_jit(seg_vars, pose_vars, refine_vars,
         quat, trans = losses.compose_refined(dr, dt, quat, trans)
         new_points = losses.rebase_points(quat, trans, clouds)
 
-    return {
+    out = {
         "found": found,
         "masks": masks,
         "quats": quat,
@@ -195,6 +211,11 @@ def _full_prediction_jit(seg_vars, pose_vars, refine_vars,
         # cheap exact check, see ops/cca.connected_components(with_flag)
         "cca_converged": cca_converged,
     }
+    if masks.shape[-1] % 8 == 0:
+        # 8x-smaller wire form of the masks; host wrappers fetch this one
+        # and unpack (unfetched outputs cost no transfer)
+        out["masks_packed"] = _pack_masks(masks)
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("models_static",))
@@ -285,7 +306,7 @@ def _full_prediction_batched_jit(seg_vars, pose_vars, refine_vars, images,
         new_points = losses.rebase_points(quat, trans, clouds)
 
     rs = lambda t: t.reshape((b, k_fg) + t.shape[1:])
-    return {
+    out = {
         "found": rs(found),
         "masks": rs(masks),
         "quats": rs(quat),
@@ -293,6 +314,9 @@ def _full_prediction_batched_jit(seg_vars, pose_vars, refine_vars, images,
         "argmax": pred_arg,
         "cca_converged": rs(cca_converged),
     }
+    if masks.shape[-1] % 8 == 0:
+        out["masks_packed"] = rs(_pack_masks(masks))
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("models_static", "cls_idx"))
@@ -458,7 +482,12 @@ def _materialize(out: Dict, models: "PredictionModels",
     found = np.asarray(out["found"])
     quats = np.asarray(out["quats"])
     positions = np.asarray(out["positions"])
-    masks = np.asarray(out["masks"]) if want_masks else None
+    if want_masks:
+        # prefer the bit-packed wire form when the graph emitted one
+        masks = (_unpack_masks(np.asarray(out["masks_packed"]))
+                 if "masks_packed" in out else np.asarray(out["masks"]))
+    else:
+        masks = None
     cca_conv = np.asarray(out["cca_converged"])
     predictions = {}
     for i, cls in enumerate(models.classes):
@@ -538,15 +567,20 @@ def serve_stream(frames, models: "PredictionModels",
                                jnp.float32(meta["depth_scale"]))
         return _intr_cache[ck]
 
-    fetched = ["found", "quats", "positions", "cca_converged"] + (
-        ["masks"] if want_masks else [])
+    base_fetched = ["found", "quats", "positions", "cca_converged"]
+
+    def _fetched(out):
+        if not want_masks:
+            return base_fetched
+        return base_fetched + [
+            "masks_packed" if "masks_packed" in out else "masks"]
 
     def _prefetch(out):
         # start the D2H transfers NOW (non-blocking): by the time this
         # entry reaches the front of the queue its outputs are already on
         # the host, so the blocking np.asarray in materialization doesn't
         # pay a fresh link round-trip per tensor
-        for name in fetched:  # only what materialization reads
+        for name in _fetched(out):  # only what materialization reads
             try:
                 out[name].copy_to_host_async()
             except (AttributeError, RuntimeError):
@@ -592,9 +626,10 @@ def serve_stream(frames, models: "PredictionModels",
     def _materialize_batch(entry):
         out, n_valid = entry
         # one host conversion per array per BATCH, then numpy slicing
-        host = {name: np.asarray(out[name]) for name in fetched}
+        names = _fetched(out)
+        host = {name: np.asarray(out[name]) for name in names}
         for i in range(n_valid):
-            yield _materialize({name: host[name][i] for name in fetched},
+            yield _materialize({name: host[name][i] for name in names},
                                models, want_masks)
 
     for image, depth, meta in frames:

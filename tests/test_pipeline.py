@@ -53,6 +53,17 @@ def test_full_prediction_contract(models):
         np.testing.assert_allclose(np.linalg.norm(p["rotation"]), 1.0, atol=1e-4)
 
 
+def test_mask_bitpacking_roundtrip():
+    """_pack_masks (device, MSB-first) and _unpack_masks (host
+    np.unpackbits) are exact inverses — the packed form is the masks' 8x
+    smaller wire format for every W % 8 == 0 resolution."""
+    rng = np.random.default_rng(2)
+    masks = rng.random((3, 17, 40)) > 0.5
+    packed = np.asarray(predict._pack_masks(jnp.asarray(masks)))
+    assert packed.shape == (3, 17, 5) and packed.dtype == np.uint8
+    np.testing.assert_array_equal(predict._unpack_masks(packed), masks)
+
+
 def test_full_prediction_uint16_depth(models):
     """The serving graphs cast depth on DEVICE, so callers can upload the
     camera's raw uint16 frames (half the depth uplink bytes on remote
