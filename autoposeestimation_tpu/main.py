@@ -280,15 +280,53 @@ class App:
     # -- 7. live prediction ------------------------------------------------
     def run_live_prediction(self, ds_name: Optional[str] = None,
                             max_frames: Optional[int] = None,
-                            frame_callback=None) -> int:
+                            frame_callback=None, models=None,
+                            pipelined: bool = False, in_flight: int = 4,
+                            batch: int = 1) -> int:
+        """Live loop (reference /root/reference/main.py:517-530: blocking
+        capture->predict->draw). `pipelined=True` drives the same camera
+        through predict.serve_stream instead — dispatch-ahead with
+        `in_flight` frames outstanding and optional `batch`-frame device
+        calls — so capture, device compute, and readback overlap (results
+        still arrive in order, one callback per frame). `models` injects a
+        prebuilt PredictionModels (tests / custom configs); default loads
+        the dataset's trained weights."""
         from .pipeline import predict
 
-        ds_name = ds_name or self._select_dataset("segmentation")
-        models = predict.get_prediction_models(self.root, ds_name)
+        if models is None:
+            ds_name = ds_name or self._select_dataset("segmentation")
+            models = predict.get_prediction_models(self.root, ds_name)
         camera = self.camera_factory()
         meta = {"intr": camera.get_intrinsics(),
                 "depth_scale": camera.get_depth_scale()}
         n = 0
+        if pipelined:
+            import collections
+
+            raw = collections.deque()
+
+            def capture():
+                m = 0
+                while max_frames is None or m < max_frames:
+                    frames = camera.get_frames(with_repair=True)
+                    if frames is None:
+                        return
+                    raw.append(frames)
+                    yield frames["image"], frames["depth"], meta
+                    m += 1
+
+            t0 = time.time()
+            for out in predict.serve_stream(capture(), models,
+                                            in_flight=in_flight,
+                                            batch=batch):
+                frames = raw.popleft()
+                n += 1
+                fps = n / max(time.time() - t0, 1e-9)
+                self.print_fn(f"fps: {fps:.1f}  objects: "
+                              f"{list(out['predictions'])}")
+                if frame_callback is not None:
+                    frame_callback(frames, out)
+            return n
         while max_frames is None or n < max_frames:
             frames = camera.get_frames(with_repair=True)
             if frames is None:

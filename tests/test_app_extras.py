@@ -37,6 +37,52 @@ def test_app_visualise_action(synth_root):
     assert n == 3
 
 
+def test_run_live_prediction_modes(tmp_path):
+    """The TUI live loop (reference main.py:517-530) over a FakeDepthCam,
+    in both the reference-style blocking mode and the beyond-reference
+    pipelined mode (serve_stream with batched dispatch). FakeDepthCam
+    yields uint16 depth, so this also drives the raw-dtype uplink path
+    end-to-end through the App."""
+    h, w = 96, 128
+    rng = np.random.default_rng(0)
+    cfg = synthetic.SynthConfig(img_h=h, img_w=w, fx=120.0, fy=120.0)
+    from autoposeestimation_tpu.hardware import camera as cam_mod
+
+    def cam_factory():
+        return cam_mod.FakeDepthCam(cfg=cfg, spheres=[
+            synthetic.SphereObject("obj", np.asarray([30.0, 10.0, 40.0]),
+                                   40.0, (210, 50, 50))])
+
+    models = predict.build_models(
+        num_classes_fg=1, model_points=rng.normal(size=(1, 60, 3)) * 0.05,
+        classes=("obj",), num_points=64, crop=32, refine_iters=1,
+        dtype=jnp.float32, img_hw=(h, w))
+
+    lines = []
+    app = app_main.App(str(tmp_path), camera_factory=cam_factory,
+                       input_fn=lambda _: "0", print_fn=lines.append)
+
+    seen = []
+    n = app.run_live_prediction(max_frames=2, models=models,
+                                frame_callback=lambda fr, out: seen.append(
+                                    (fr, out)))
+    assert n == 2 and len(seen) == 2
+    for fr, out in seen:
+        assert fr["depth"].dtype == np.uint16
+        assert set(out["predictions"]) <= {"obj"}
+    assert len(lines) == 2 and all(l.startswith("fps:") for l in lines)
+
+    lines.clear()
+    seen.clear()
+    n = app.run_live_prediction(max_frames=3, models=models, pipelined=True,
+                                in_flight=2, batch=2,
+                                frame_callback=lambda fr, out: seen.append(
+                                    (fr, out)))
+    assert n == 3 and len(seen) == 3 and len(lines) == 3
+    for fr, out in seen:
+        assert set(out["predictions"]) <= {"obj"}
+
+
 def test_poses_yaml_roundtrip(tmp_path):
     poses = [np.eye(4), np.diag([1.0, 2, 3, 1])]
     path = str(tmp_path / "cam_poses.yaml")
