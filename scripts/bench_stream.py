@@ -35,6 +35,16 @@ def main():
     from autoposeestimation_tpu.pipeline import predict
     from autoposeestimation_tpu.utils import synthetic
 
+    # liveness probe FIRST (before any big compile): one tiny
+    # dispatch+readback round-trip, also the attribution line
+    ready = jnp.zeros((16,), jnp.float32) + 1
+    _ = np.asarray(ready)
+    t0 = time.perf_counter()
+    for _ in range(30):
+        _ = np.asarray(ready + 0)
+    rtt = (time.perf_counter() - t0) / 30
+    emit("tunnel_dispatch_readback_rtt_ms", rtt * 1000, "ms")
+
     rng = np.random.default_rng(0)
     num_classes = 5
     cfg2 = synthetic.SynthConfig(img_h=480, img_w=640, fx=600.0, fy=600.0,
@@ -52,14 +62,6 @@ def main():
             np.float32) * 0.05,
         tuple(f"o{i}" for i in range(num_classes)), num_points=1000,
         crop=320, refine_iters=2, dtype=jnp.bfloat16, img_hw=(480, 640))
-
-    ready = jnp.zeros((16,), jnp.float32) + 1
-    _ = np.asarray(ready)
-    t0 = time.perf_counter()
-    for _ in range(30):
-        _ = np.asarray(ready + 0)
-    rtt = (time.perf_counter() - t0) / 30
-    emit("tunnel_dispatch_readback_rtt_ms", rtt * 1000, "ms")
 
     meta_s = {"intr": {"fx": 600.0, "fy": 600.0, "ppx": 320.0, "ppy": 240.0},
               "depth_scale": 0.001}
