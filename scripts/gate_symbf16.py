@@ -1,0 +1,108 @@
+"""Promotion gate for ``DFConfig.sym_bf16`` (bf16 distance matmuls in the
+fused sym train kernel, 70.4 vs 79.7 ms estimator step).
+
+The gate is the sym_bf16 TWIN of the round-4 multi-object demo
+(``scripts/train_multi_demo.py --sym-bf16``): same 5-object scene (one
+symmetric class), same trainer, only the kernel arithmetic differs. This
+script compares the twin's artifact + curves against the exact-arithmetic
+flagship run (``artifacts/demo_multi_round4.json`` + ``_curves.json``) and
+emits one JSON verdict line.
+
+A twin trained for FEWER epochs than the flagship's 120 is compared against
+the flagship's best-so-far at the same epoch (the per-epoch ``test_dists``
+curve), not its final number — a 60-epoch twin must match what exact
+arithmetic had achieved by epoch 60.
+
+Checks (all must hold):
+  1. refine phase reached; decay AND refine transitions fired by margin
+     (the demo's health signature — fallback triggers mean the optimizer
+     crawled).
+  2. ``grad_norm_max`` over all epochs <= 10 (exact run: 4.7; the
+     pre-round-4 numerical bugs announced themselves at 1e4-2e5).
+  3. best test ADD within ``--tol-add-mm`` (default 1.5) of the exact
+     run's best-so-far at the twin's epoch budget.
+  4. serving: every class found in every held-out composite frame, and
+     per-class ADD(-S) within ``--tol-serve-mm`` (default 3.0) of the
+     exact run's per-class table (run-to-run training noise included).
+
+Reference analog for the A/B discipline: the round-3 stride-8 promotion
+gate, which round 4 tightened to ADD after the translation-only version
+missed a symmetric-class regression.
+"""
+import argparse
+import json
+import os
+import sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+ART = os.path.join(os.path.dirname(HERE), "artifacts")
+
+
+def _load(path):
+    with open(path) as f:
+        return json.load(f)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--exact", default=os.path.join(ART, "demo_multi_round4.json"))
+    p.add_argument("--exact-curves",
+                   default=os.path.join(ART, "demo_multi_round4_curves.json"))
+    p.add_argument("--twin",
+                   default=os.path.join(ART, "demo_multi_round4_symbf16.json"))
+    p.add_argument("--twin-curves",
+                   default=os.path.join(ART,
+                                        "demo_multi_round4_symbf16_curves.json"))
+    p.add_argument("--tol-add-mm", type=float, default=1.5)
+    p.add_argument("--tol-serve-mm", type=float, default=3.0)
+    args = p.parse_args()
+
+    exact, twin = _load(args.exact), _load(args.twin)
+    exact_td = _load(args.exact_curves)["curves"]["test_dists"]
+    twin_curves = _load(args.twin_curves)["curves"]
+    checks = {}
+
+    pt = twin["pose_training"]
+    assert pt.get("sym_bf16"), "twin artifact was not trained with --sym-bf16"
+    tr = pt.get("transitions", {})
+    checks["refine_phase_reached"] = bool(pt["refine_phase_reached"])
+    checks["transitions_by_margin"] = (
+        tr.get("decay", {}).get("trigger") == "margin"
+        and tr.get("refine", {}).get("trigger") == "margin")
+
+    gn = max(twin_curves.get("grad_norm_max", [float("inf")]))
+    checks["grad_norm_max_le_10"] = gn <= 10.0
+
+    epochs = int(pt["epochs"])
+    exact_best_at_e = min(exact_td[:min(epochs + 1, len(exact_td))])
+    delta_mm = (pt["best_test_add_m"] - exact_best_at_e) * 1e3
+    checks["best_add_within_tol"] = delta_mm <= args.tol_add_mm
+
+    serve_ok, per_class = True, {}
+    for c, row in twin["serving"]["per_class"].items():
+        ex = exact["serving"]["per_class"][c]
+        found_all = row["found"] == row["of"]
+        d_mm = (row.get("add_mean_m", float("inf")) - ex["add_mean_m"]) * 1e3
+        ok = found_all and d_mm <= args.tol_serve_mm
+        per_class[c] = {"found_all": found_all,
+                        "add_delta_vs_exact_mm": round(d_mm, 2), "ok": ok}
+        serve_ok = serve_ok and ok
+    checks["serving_per_class_ok"] = serve_ok
+
+    verdict = {
+        "gate": "sym_bf16_promotion",
+        "twin_epochs": epochs,
+        "twin_best_test_add_m": pt["best_test_add_m"],
+        "exact_best_at_same_epoch_m": round(exact_best_at_e, 5),
+        "best_add_delta_mm": round(delta_mm, 2),
+        "twin_grad_norm_max": round(gn, 2),
+        "per_class": per_class,
+        "checks": checks,
+        "promote": all(checks.values()),
+    }
+    print(json.dumps(verdict))
+    return 0 if verdict["promote"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
