@@ -1,11 +1,11 @@
 """Promotion gate for ``DFConfig.sym_bf16`` (bf16 distance matmuls in the
 fused sym train kernel, 70.4 vs 79.7 ms estimator step).
 
-The gate is the sym_bf16 TWIN of the round-4 multi-object demo
+The gate is the sym_bf16 TWIN of the multi-object flagship demo
 (``scripts/train_multi_demo.py --sym-bf16``): same 5-object scene (one
 symmetric class), same trainer, only the kernel arithmetic differs. This
 script compares the twin's artifact + curves against the exact-arithmetic
-flagship run (``artifacts/demo_multi_round4.json`` + ``_curves.json``) and
+flagship run (``artifacts/demo_multi_round5.json`` + ``_curves.json``) and
 emits one JSON verdict line.
 
 A twin trained for FEWER epochs than the flagship's 120 is compared against
@@ -45,17 +45,23 @@ def _load(path):
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--exact", default=os.path.join(ART, "demo_multi_round4.json"))
+    p.add_argument("--exact", default=os.path.join(ART, "demo_multi_round5.json"))
     p.add_argument("--exact-curves",
-                   default=os.path.join(ART, "demo_multi_round4_curves.json"))
+                   default=os.path.join(ART, "demo_multi_round5_curves.json"))
     p.add_argument("--twin",
-                   default=os.path.join(ART, "demo_multi_round4_symbf16.json"))
+                   default=os.path.join(ART, "demo_multi_round5_symbf16.json"))
     p.add_argument("--twin-curves",
                    default=os.path.join(ART,
-                                        "demo_multi_round4_symbf16_curves.json"))
+                                        "demo_multi_round5_symbf16_curves.json"))
     p.add_argument("--tol-add-mm", type=float, default=1.5)
     p.add_argument("--tol-serve-mm", type=float, default=3.0)
     args = p.parse_args()
+
+    if os.path.abspath(args.exact) == os.path.abspath(args.twin):
+        print(json.dumps({"gate": "sym_bf16_promotion", "error":
+                          "--exact and --twin are the same file; the twin "
+                          "run must write its own artifact"}))
+        return 2
 
     exact, twin = _load(args.exact), _load(args.twin)
     exact_td = _load(args.exact_curves)["curves"]["test_dists"]
@@ -63,7 +69,10 @@ def main():
     checks = {}
 
     pt = twin["pose_training"]
-    assert pt.get("sym_bf16"), "twin artifact was not trained with --sym-bf16"
+    if not pt.get("sym_bf16"):
+        print(json.dumps({"gate": "sym_bf16_promotion", "error":
+                          "twin artifact was not trained with --sym-bf16"}))
+        return 2
     tr = pt.get("transitions", {})
     checks["refine_phase_reached"] = bool(pt["refine_phase_reached"])
     checks["transitions_by_margin"] = (
@@ -73,8 +82,11 @@ def main():
     gn = max(twin_curves.get("grad_norm_max", [float("inf")]))
     checks["grad_norm_max_le_10"] = gn <= 10.0
 
+    # trainer epochs are 1-indexed and test_dists has one entry per epoch
+    # (index i = epoch i+1): a twin trained for E epochs is compared against
+    # exactly the exact run's first E per-epoch test distances
     epochs = int(pt["epochs"])
-    exact_best_at_e = min(exact_td[:min(epochs + 1, len(exact_td))])
+    exact_best_at_e = min(exact_td[:min(epochs, len(exact_td))])
     delta_mm = (pt["best_test_add_m"] - exact_best_at_e) * 1e3
     checks["best_add_within_tol"] = delta_mm <= args.tol_add_mm
 

@@ -122,8 +122,13 @@ def main():
                              "has a symmetric class)")
     parser.add_argument("--artifact", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "artifacts", "demo_multi_round4.json"))
+        "artifacts", "demo_multi_round5.json"))
     args = parser.parse_args()
+    if args.sym_bf16 and "symbf16" not in os.path.basename(args.artifact):
+        # the twin must never silently overwrite the exact-run artifact the
+        # promotion gate (scripts/gate_symbf16.py) compares against
+        base, ext = os.path.splitext(args.artifact)
+        args.artifact = base + "_symbf16" + ext
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
@@ -427,6 +432,14 @@ def main():
     if args.artifact:
         os.makedirs(os.path.dirname(args.artifact), exist_ok=True)
         io.write_json(args.artifact, results)
+        # the promotion gate reads <artifact>_curves.json: publish the
+        # trainer's per-epoch curve log next to the artifact
+        curves_src = os.path.join(pose_dir, "losses.json")
+        if os.path.exists(curves_src):
+            base, _ = os.path.splitext(args.artifact)
+            log = io.read_json(curves_src)
+            io.write_json(base + "_curves.json",
+                          {"curves": log.get("curves", log)})
 
 
 if __name__ == "__main__":
