@@ -31,6 +31,9 @@ class DecoderBlock(nn.Module):
     def __call__(self, x, skip=None, train: bool = False):
         x = upsample_nearest_2x(x)
         if skip is not None:
+            # ceil-mode stride-2 encoders overshoot on odd dims (15 -> 8 ->
+            # upsampled 16); crop to the skip — a no-op for /32-aligned inputs
+            x = x[:, :skip.shape[1], :skip.shape[2], :]
             x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
         for _ in range(2):
             x = nn.Conv(self.features, (3, 3), padding=1, use_bias=False,
@@ -47,7 +50,8 @@ class DecoderBlock(nn.Module):
 
 class UNet(nn.Module):
     """U-Net resnet34. Input NHWC float (normalized); output logits NHWC
-    (classes last). H and W must be multiples of 32.
+    (classes last). Any H/W >= 32 works (decoder crops to the encoder skips);
+    multiples of 32 avoid the crops entirely.
 
     `remat=True` rematerializes the encoder in the backward pass
     (jax.checkpoint) — trades ~25% more FLOPs for dropping the encoder

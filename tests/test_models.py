@@ -26,6 +26,17 @@ def test_unet_7channel_binary():
     assert logits.shape == (1, 64, 64, 2)
 
 
+def test_unet_non_div32_dims():
+    # 120 -> /8 = 15 (odd): the ceil-mode encoder overshoots on the 2x
+    # upsample and the decoder must crop back to the skip (regression: the
+    # round-5 attribution smoke at 120x160 crashed in the concat)
+    model = unet.UNet(classes=3, dtype=jnp.float32)
+    x = jnp.zeros((1, 120, 160, 3))
+    params = model.init(jax.random.PRNGKey(0), x)
+    logits = model.apply(params, x)
+    assert logits.shape == (1, 120, 160, 3)
+
+
 @pytest.mark.slow
 def test_pspnet_prelu_init_matches_torch_default():
     # torch nn.PReLU() initializes the shared slope to 0.25; flax's
