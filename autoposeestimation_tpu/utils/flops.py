@@ -32,9 +32,26 @@ GRAPH_CONFIGS = {
                           w=640, refine_iters=2, emb_stride=8),
     "serving_graph_exact": dict(num_classes=5, num_points=1000, crop=320,
                                 h=480, w=640, refine_iters=2, emb_stride=1),
+    "serving_graph_s2": dict(num_classes=5, num_points=1000, crop=320,
+                             h=480, w=640, refine_iters=2, emb_stride=2),
     "densefusion_train_step": dict(batch=8, n=1000, m=500, crop=320,
                                    num_obj=5),
 }
+
+# cumulative prefixes of the headline serving graph (shared builders in
+# utils/serving_stages.py — the SAME step functions bench_prefix times on
+# the chip; stage FLOPs = consecutive diffs)
+for _p in ("seg", "seg_cca", "perclass", "full"):
+    GRAPH_CONFIGS[f"serving_prefix_{_p}"] = dict(
+        num_classes=5, num_points=1000, crop=320, h=480, w=640,
+        refine_iters=2, emb_stride=8, prefix=_p)
+
+# train-step stages (shared builders in utils/train_stages.py — the same
+# graphs bench_prefix times; m follows DFConfig.num_points_mesh)
+for _t in ("pspnet_fwd", "posenet_fwd", "symloss_fwd", "symloss_fwd_bwd",
+           "estimator_step", "estimator_step_symbf16", "refiner_step"):
+    GRAPH_CONFIGS[f"train_stage_{_t}"] = dict(
+        num_obj=5, bs=8, n=1000, m=500, crop=320, stage=_t)
 
 
 def _build_serving_graph(name: str = "serving_graph"):
@@ -104,12 +121,54 @@ def _build_densefusion_train_step():
     return run, (state.pose_vars, state.opt_state), cfg
 
 
+def _build_serving_prefix(name: str):
+    """One cumulative prefix of the serving graph (utils/serving_stages.py);
+    the graph is the scan STEP bench_prefix times, called once."""
+    import jax.numpy as jnp
+
+    from . import serving_stages
+
+    cfg = dict(GRAPH_CONFIGS[name])
+    prefix = cfg.pop("prefix")
+    steps, _ = serving_stages.build_prefixes(**cfg)
+
+    def run(c):
+        return steps[prefix](c, jnp.uint32(0))
+
+    return run, (jnp.uint8(0),), GRAPH_CONFIGS[name]
+
+
 _GRAPHS = {
     "serving_graph": _build_serving_graph,
     "serving_graph_exact": lambda: _build_serving_graph(
         "serving_graph_exact"),
+    "serving_graph_s2": lambda: _build_serving_graph("serving_graph_s2"),
     "densefusion_train_step": _build_densefusion_train_step,
 }
+for _p in ("seg", "seg_cca", "perclass", "full"):
+    _name = f"serving_prefix_{_p}"
+    _GRAPHS[_name] = (lambda n=_name: _build_serving_prefix(n))
+
+
+def _build_train_stage(name: str):
+    import jax.numpy as jnp
+
+    from . import train_stages
+
+    cfg = dict(GRAPH_CONFIGS[name])
+    stage = cfg.pop("stage")
+    steps, carries = train_stages.build_stages(**cfg)
+
+    def run(carry):
+        return steps[stage](carry, jnp.uint32(0))
+
+    return run, (carries[stage],), GRAPH_CONFIGS[name]
+
+
+for _t in ("pspnet_fwd", "posenet_fwd", "symloss_fwd", "symloss_fwd_bwd",
+           "estimator_step", "estimator_step_symbf16", "refiner_step"):
+    _name = f"train_stage_{_t}"
+    _GRAPHS[_name] = (lambda n=_name: _build_train_stage(n))
 
 
 def _count(name: str) -> float:

@@ -307,6 +307,31 @@ def main():
     emit_mfu("full_prediction_embstride1_exact_mfu_pct",
              "serving_graph_exact", dt)
 
+    # --- symmetric-dataset product configuration at headline geometry ----
+    # the auto-selection (predict.get_prediction_models) serves emb_stride=2
+    # whenever the dataset has a symmetric class; this is the rate such a
+    # deployment gets at the worst-case 640x480/crop-320 geometry (round-4
+    # VERDICT task 7: only stride 8 and stride 1 were ever recorded here)
+    models_s2 = predict.build_models(
+        num_classes, rng.normal(size=(num_classes, 1000, 3)).astype(
+            np.float32) * 0.05,
+        tuple(f"o{i}" for i in range(num_classes)), num_points=1000,
+        crop=320, refine_iters=2, dtype=jnp.bfloat16, img_hw=(480, 640),
+        emb_stride=2)
+    static_s2 = predict.static_tuple(models_s2)
+
+    def single_s2(k):
+        out = predict._full_prediction_jit(
+            models_s2.seg_vars, models_s2.pose_vars, models_s2.refine_vars,
+            image1, depth1, intr2, jnp.float32(0.001), k, static_s2)
+        return out["positions"]
+
+    dt = scan_seconds(single_s2)
+    emit("full_prediction_fps_640x480_5obj_embstride2_sym", 1.0 / dt,
+         "frames/sec", 30.0)
+    emit_mfu("full_prediction_embstride2_sym_mfu_pct", "serving_graph_s2",
+             dt)
+
     # --- dispatch-ahead host serving loop (r3 VERDICT task 4) ------------
     # serve_stream with in_flight frames outstanding + async D2H vs the
     # strictly blocking loop, plus the raw link round-trip for attribution:
