@@ -319,9 +319,11 @@ def _full_prediction_batched_jit(seg_vars, pose_vars, refine_vars, images,
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("models_static", "cls_idx"))
+@functools.partial(jax.jit, static_argnames=("models_static",))
 def _pose_from_mask_jit(pose_vars, refine_vars, image, depth, mask, intr,
-                        depth_scale, key, models_static, cls_idx: int):
+                        depth_scale, key, models_static, cls_idx):
+    # cls_idx is a TRACED scalar (it only selects the per-object head row),
+    # so per-class attribution sweeps reuse one compilation across classes
     (_, posenet, refiner, _, num_points, crop, refine_iters,
      agg_topk, _cca_scale, _cca_sweeps) = models_static
     h_img, w_img = depth.shape
@@ -329,7 +331,7 @@ def _pose_from_mask_jit(pose_vars, refine_vars, image, depth, mask, intr,
     cloud, choose, count = proj.backproject_choose_zoom(
         depth, mask, intr, depth_scale, r0, c0, win, crop, num_points, key)
     crops = normalize_imagenet(proj.resample_window(image, r0, c0, win, crop))
-    obj = jnp.asarray([cls_idx], jnp.int32)
+    obj = jnp.asarray(cls_idx, jnp.int32).reshape(1)
     pred_r, pred_t, pred_c, emb = posenet.apply(
         pose_vars, crops[None], cloud[None], choose[None], obj)
     quat, trans = losses.estimator_prediction(pred_r, pred_t, pred_c,

@@ -87,6 +87,65 @@ def multi_scene(n_viewpoints: int = 48, img_hw=MULTI_IMG_HW):
     return cfg, objects
 
 
+def family_b_scene(n_viewpoints: int = 48, img_hw=MULTI_IMG_HW):
+    """A second, differently-shaped fixture family (round-4 weakness #5: all
+    accuracy evidence rode one scene family). Family B differs from the
+    headline-derived family A in every axis the serving front end sees:
+
+      * geometry: multi-LOBE bodies (2-3 large overlapping spheres) instead
+        of one ball with small bumps — non-spherical silhouettes, concave
+        mask boundaries;
+      * occlusion: centers on a radius-90 ring (A: 120) with larger bodies,
+        viewed from a LOWER, more oblique camera rig (height 280 vs 450) —
+        objects genuinely overlap in many views;
+      * colors: a darker palette on a warm table (A: bright on neutral);
+      * camera: ring radius 430 (A: 500) -> larger image-plane footprints.
+
+    obj1 keeps a true 180-degree discrete symmetry: two antipodal SAME-color
+    lobes about the body center, symmetric=1.
+    """
+    from autoposeestimation_tpu.utils import synthetic
+
+    fx = 600.0 * img_hw[1] / MULTI_IMG_HW[1]
+    cfg = synthetic.SynthConfig(
+        img_h=img_hw[0], img_w=img_hw[1], fx=fx, fy=fx,
+        n_viewpoints=n_viewpoints, ring_radius=430.0, ring_height=280.0,
+        table_color=(150, 120, 90))
+    lobe_sets = {
+        # (offset mm, radius mm, color) — lobes comparable to the body
+        "obj0": ((( 32.0,  10.0,  14.0), 30.0, (120, 40, 40)),
+                 ((-24.0, -26.0,  -6.0), 24.0, (40, 90, 130))),
+        # antipodal same-color lobes: 180-degree symmetry, symmetric=1
+        "obj1": ((( 34.0,   0.0,  10.0), 26.0, (60, 60, 70)),
+                 ((-34.0,   0.0,  10.0), 26.0, (60, 60, 70))),
+        "obj2": ((( 28.0, -20.0,  18.0), 28.0, (130, 110, 30)),
+                 ((-30.0,  18.0,  -8.0), 22.0, (40, 120, 70)),
+                 ((  4.0,  32.0,  20.0), 16.0, (100, 40, 120))),
+        "obj3": (((-26.0, -24.0,  16.0), 26.0, (30, 70, 140)),
+                 (( 30.0,  12.0,  -4.0), 20.0, (140, 80, 40))),
+        "obj4": ((( 18.0,  30.0, -10.0), 26.0, (90, 130, 40)),
+                 ((-28.0, -14.0,  16.0), 22.0, (150, 60, 90)),
+                 ((  0.0, -32.0,  12.0), 15.0, (60, 140, 140))),
+    }
+    bodies = {"obj0": ((40, 70, 110), 40.0), "obj1": ((110, 100, 90), 38.0),
+              "obj2": ((80, 50, 50), 42.0), "obj3": ((60, 110, 80), 36.0),
+              "obj4": ((110, 80, 50), 40.0)}
+    objects = []
+    for i, name in enumerate(sorted(lobe_sets)):
+        ang = 2.0 * np.pi * i / 5.0 + 0.3
+        color, radius = bodies[name]
+        objects.append(synthetic.SphereObject(
+            name,
+            np.asarray([90.0 * np.cos(ang), 90.0 * np.sin(ang), 45.0]),
+            radius, color,
+            symmetric=1 if name == MULTI_SYM_CLASS else 0,
+            parts=lobe_sets[name]))
+    return cfg, objects
+
+
+SCENE_FAMILIES = {"a": multi_scene, "b": family_b_scene}
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--out", default="/tmp/autopose_multi")
@@ -103,6 +162,10 @@ def main():
     parser.add_argument("--img-w", type=int, default=MULTI_IMG_HW[1])
     parser.add_argument("--num-pt", type=int, default=MULTI_NUM_PT)
     parser.add_argument("--crop", type=int, default=MULTI_CROP)
+    parser.add_argument("--family", default="a", choices=tuple(SCENE_FAMILIES),
+                        help="fixture family: 'a' = the headline-derived "
+                             "bumped-sphere scene, 'b' = multi-lobe bodies "
+                             "with real occlusions (family_b_scene)")
     parser.add_argument("--sym-bf16", action="store_true",
                         help="train with DFConfig.sym_bf16=True (bf16 "
                              "distance matmuls in the sym train kernel) — "
@@ -129,6 +192,10 @@ def main():
         # promotion gate (scripts/gate_symbf16.py) compares against
         base, ext = os.path.splitext(args.artifact)
         args.artifact = base + "_symbf16" + ext
+    if args.family != "a" and f"_fam{args.family}" not in os.path.basename(
+            args.artifact):
+        base, ext = os.path.splitext(args.artifact)
+        args.artifact = base + f"_fam{args.family}" + ext
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
@@ -146,7 +213,7 @@ def main():
     results = {"platform": jax.devices()[0].platform}
 
     img_hw = (args.img_h, args.img_w)
-    cfg, objects = multi_scene(args.viewpoints, img_hw)
+    cfg, objects = SCENE_FAMILIES[args.family](args.viewpoints, img_hw)
     centers = {o.name: np.asarray(o.center, float) for o in objects}
     if not io.list_objects(root):
         t0 = time.time()
