@@ -91,6 +91,11 @@ def main():
     p.add_argument("--ablate", action="store_true",
                    help="also re-serve the predicted masks with crop 320, "
                         "choose 1000, and refine-off pose graphs")
+    p.add_argument("--serve-only", action="store_true",
+                   help="only the served_s{stride} conditions: no stride-1 "
+                        "reference graph, no pose_from_mask stages, no mask "
+                        "IoU — a cheap n-frame serving eval (used for the "
+                        "sym_bf16 twin's n=36 gate comparison)")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--demo-artifact", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -140,11 +145,13 @@ def main():
             img_hw=img_hw, emb_stride=stride)
 
     strides = [int(s) for s in args.strides.split(",") if s]
+    graph_strides = (sorted(set(strides)) if args.serve_only
+                     else sorted(set(strides) | {1}))
     graphs = {s: build(args.crop, args.num_pt, s, args.refine_iters)
-              for s in sorted(set(strides) | {1})}
-    m_exact = graphs[1]
+              for s in graph_strides}
+    m_exact = graphs.get(1)
     ablations = {}
-    if args.ablate:
+    if args.ablate and not args.serve_only:
         ablations = {
             "crop320_s1": build(320, args.num_pt, 1, args.refine_iters),
             "pts1000_s1": build(args.crop, 1000, 1, args.refine_iters),
@@ -158,8 +165,9 @@ def main():
 
     cams = heldout_cameras(cfg, args.frames)
     conds = [f"served_s{s}" for s in strides]
-    conds += ["predmask_s1", "gtmask_s1", f"gtmask_s{strides[0]}",
-              "norefine_s1"] + list(ablations)
+    if not args.serve_only:
+        conds += ["predmask_s1", "gtmask_s1", f"gtmask_s{strides[0]}",
+                  "norefine_s1"] + list(ablations)
     acc = {c: {k: {"add": [], "pos": [], "found": 0} for k in conds}
            for c in classes}
     iou_acc = {c: {"component": [], "argmax": []} for c in classes}
@@ -203,7 +211,7 @@ def main():
                     record(f"served_s{s}", outs[s]["quats"][i],
                            outs[s]["positions"][i])
 
-            if not prod["found"][i]:
+            if args.serve_only or not prod["found"][i]:
                 continue
             pred_mask = predict._unpack_masks(
                 prod["masks_packed"][i]) if "masks_packed" in prod \
@@ -261,8 +269,9 @@ def main():
                 if v["pos"] else None,
             }
         # the three attribution terms (means, meters)
-        g1 = row["gtmask_s1"]["add_mean_m"]
-        p1 = row["predmask_s1"]["add_mean_m"]
+        g1 = row["gtmask_s1"]["add_mean_m"] if "gtmask_s1" in row else None
+        p1 = (row["predmask_s1"]["add_mean_m"] if "predmask_s1" in row
+              else None)
         s0 = row[f"served_s{strides[0]}"]["add_mean_m"]
         if demo_eval and demo_eval.get(c) and None not in (g1, p1, s0):
             row["terms_m"] = {
@@ -283,12 +292,13 @@ def main():
     print(hdr, flush=True)
     for c in classes:
         r = result["per_class"][c]
+        served = r[f"served_s{strides[0]}"]
         print(f"{c:>8} {fmt(r['eval_path_add_m'])} "
-              f"{fmt(r['gtmask_s1']['add_mean_m'])} "
-              f"{fmt(r['predmask_s1']['add_mean_m'], 8)} "
-              f"{fmt(r[f'served_s{strides[0]}']['add_mean_m'])} "
+              f"{fmt(r['gtmask_s1']['add_mean_m'] if 'gtmask_s1' in r else None)} "
+              f"{fmt(r['predmask_s1']['add_mean_m'] if 'predmask_s1' in r else None, 8)} "
+              f"{fmt(served['add_mean_m'])} "
               f"{fmt(r['mask_iou_component'], 6, 3)} "
-              f"{fmt(r[f'served_s{strides[0]}']['add_lt_2cm_pct'], 6, 2)}",
+              f"{fmt(served['add_lt_2cm_pct'], 6, 2)}",
               flush=True)
     if args.artifact:
         os.makedirs(os.path.dirname(args.artifact), exist_ok=True)

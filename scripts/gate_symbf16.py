@@ -55,6 +55,14 @@ def main():
                                         "demo_multi_round5_symbf16_curves.json"))
     p.add_argument("--tol-add-mm", type=float, default=1.5)
     p.add_argument("--tol-serve-mm", type=float, default=3.0)
+    p.add_argument("--exact-serve", default=None,
+                   help="attribute_serving.py artifact for the EXACT run "
+                        "(n>=36 held-out frames); with --twin-serve, the "
+                        "serving check compares these served_s* tables "
+                        "instead of the demo artifacts' n=9 ones")
+    p.add_argument("--twin-serve", default=None,
+                   help="attribute_serving.py --serve-only artifact for the "
+                        "sym_bf16 twin on the same held-out frames")
     args = p.parse_args()
 
     if os.path.abspath(args.exact) == os.path.abspath(args.twin):
@@ -90,11 +98,26 @@ def main():
     delta_mm = (pt["best_test_add_m"] - exact_best_at_e) * 1e3
     checks["best_add_within_tol"] = delta_mm <= args.tol_add_mm
 
+    if args.exact_serve and args.twin_serve:
+        # n>=36 held-out comparison from attribute_serving artifacts; the
+        # product serving condition is the first entry of "conditions"
+        ex_art, tw_art = _load(args.exact_serve), _load(args.twin_serve)
+        cond = tw_art["conditions"][0]
+        serve_n = tw_art["n_frames"]
+        serve_rows = {c: (tw_art["per_class"][c][cond],
+                          ex_art["per_class"][c][cond])
+                      for c in tw_art["per_class"]}
+    else:
+        cond = "demo_n9"
+        serve_n = 9
+        serve_rows = {c: (row, exact["serving"]["per_class"][c])
+                      for c, row in twin["serving"]["per_class"].items()}
+
     serve_ok, per_class = True, {}
-    for c, row in twin["serving"]["per_class"].items():
-        ex = exact["serving"]["per_class"][c]
+    for c, (row, ex) in serve_rows.items():
         found_all = row["found"] == row["of"]
-        d_mm = (row.get("add_mean_m", float("inf")) - ex["add_mean_m"]) * 1e3
+        d_mm = (row.get("add_mean_m") or float("inf")) * 1e3 \
+            - ex["add_mean_m"] * 1e3
         ok = found_all and d_mm <= args.tol_serve_mm
         per_class[c] = {"found_all": found_all,
                         "add_delta_vs_exact_mm": round(d_mm, 2), "ok": ok}
@@ -108,6 +131,8 @@ def main():
         "exact_best_at_same_epoch_m": round(exact_best_at_e, 5),
         "best_add_delta_mm": round(delta_mm, 2),
         "twin_grad_norm_max": round(gn, 2),
+        "serving_condition": cond,
+        "serving_n_frames": serve_n,
         "per_class": per_class,
         "checks": checks,
         "promote": all(checks.values()),
