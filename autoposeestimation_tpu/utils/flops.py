@@ -75,16 +75,22 @@ def _build_serving_graph(name: str = "serving_graph"):
         refine_iters=cfg["refine_iters"], dtype=jnp.bfloat16,
         img_hw=(cfg["h"], cfg["w"]), emb_stride=cfg["emb_stride"])
     static = predict.static_tuple(models)
+    # image/depth must be function ARGS, not closed-over constants: XLA
+    # constant-folds whole U-Net stages fed by constants out of the
+    # compiled module, and cost_analysis() then UNDERCOUNTS the graph the
+    # benches actually run (observed: 342.7 vs the true 386.4 GFLOP at
+    # stride 8 — bench.py passes device arrays, so its graph keeps every
+    # conv). Folding the 640x480 graph also takes minutes of compile time.
     image = jnp.zeros((cfg["h"], cfg["w"], 3), jnp.uint8)
     depth = jnp.full((cfg["h"], cfg["w"]), 700.0, jnp.float32)
     intr = jnp.asarray([600.0, 600.0, 320.0, 240.0], jnp.float32)
 
-    def run(key):
+    def run(image, depth, key):
         return predict._full_prediction_jit(
             models.seg_vars, models.pose_vars, models.refine_vars,
             image, depth, intr, jnp.float32(0.001), key, static)
 
-    return run, (jax.random.PRNGKey(0),), cfg
+    return run, (image, depth, jax.random.PRNGKey(0)), cfg
 
 
 def _build_densefusion_train_step():
