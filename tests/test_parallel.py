@@ -93,8 +93,7 @@ def test_tp_sharding_correctness():
     np.testing.assert_allclose(float(m1["loss"]), float(mt["loss"]), rtol=1e-4)
 
 
-@pytest.mark.slow
-def test_graft_dryrun():
+def _load_graft():
     import importlib.util
     import os
 
@@ -103,7 +102,20 @@ def test_graft_dryrun():
             os.path.abspath(__file__))), "__graft_entry__.py"))
     graft = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(graft)
-    graft.dryrun_multichip(8)
+    return graft
+
+
+@pytest.mark.slow
+def test_graft_dryrun():
+    _load_graft().dryrun_multichip(8)
+
+
+@pytest.mark.slow
+def test_graft_dryrun_product_shapes():
+    """round-4 VERDICT minor: the dp x tp sharding must also compile and
+    execute at the PRODUCT shapes (train: crop 320 / 1000 pts / 500 mesh
+    pts / bs 8; serving: 640x480 batched), not just the toy dry-run dims."""
+    _load_graft().dryrun_multichip(8, shapes="product")
 
 
 @pytest.mark.slow
