@@ -87,6 +87,20 @@ class PredictionModels(NamedTuple):
     # relowering, identical param tree — models/resnet.BasicBlockPlain).
     # Same A/B protocol as emb_stride: flipped only on measured evidence.
     dil_s2b: bool = False
+    # component-selection rule for the serving CCA (ops/cca.py rules, all
+    # reference-derived). The reference's LIVE path scores components by
+    # MEAN probability (/root/reference/pipeline/utils.py:459-463); round-5
+    # attribution on the trained 5-object demo (n=36 held-out frames,
+    # artifacts/serving_attribution_round5.json) showed that rule selecting
+    # a small confident FALSE-POSITIVE fragment on another object over the
+    # true body in 12/36 frames for one class (component IoU 0.59 vs its
+    # own argmax 0.75; served ADD 88 mm vs 13 mm with the true component) —
+    # two components at mean prob 0.985 vs 0.99 tie-break to the wrong one.
+    # The SUM (probability-mass) rule — the reference's own
+    # background_subtraction rule (utils.py:210-216) — picks the true body
+    # in every frame, so it is the serving default; "mean_float" restores
+    # the reference-exact live-path behavior.
+    cca_rule: str = "sum"
 
 
 def static_tuple(models: "PredictionModels", refine_iters: Optional[int] = None):
@@ -96,7 +110,8 @@ def static_tuple(models: "PredictionModels", refine_iters: Optional[int] = None)
     iters = models.refine_iters if refine_iters is None else refine_iters
     return (models.seg_model, models.posenet, models.refiner,
             len(models.classes), models.num_points, models.crop, iters,
-            models.agg_topk, models.cca_scale, models.cca_sweeps)
+            models.agg_topk, models.cca_scale, models.cca_sweeps,
+            models.cca_rule)
 
 
 def _pack_masks(masks):
@@ -124,7 +139,8 @@ def _segment(seg_model, seg_vars, image):
 
 
 def _class_mask(score_plane, pred_arg, cls_id, min_count: int = 100,
-                cca_scale: int = 1, cca_sweeps: int = 0):
+                cca_scale: int = 1, cca_sweeps: int = 0,
+                cca_rule: str = "sum"):
     """Largest-mean-probability connected component of one class
     (pipeline/utils.py:444-467). cls_id is 1-based (0 = background);
     `score_plane` is that class's (H, W) probability plane — callers slice
@@ -138,10 +154,14 @@ def _class_mask(score_plane, pred_arg, cls_id, min_count: int = 100,
     cls_mask = pred_arg == cls_id
     count = jnp.sum(cls_mask.astype(jnp.int32))
     # the reference scores components by mean(class_id * prob); the class-id
-    # factor is constant within a class so plain prob picks the same component
+    # factor is constant within a class so plain prob picks the same
+    # component. cca_rule="sum" (the serving default, see PredictionModels.
+    # cca_rule) replaces the mean with probability MASS — measured on the
+    # round-5 attribution to stop small confident false-positive fragments
+    # from out-scoring the true body; "mean_float" is reference-exact.
     score = jnp.where(cls_mask, score_plane, 0.0)
     comp, found, converged = cca_ops.best_component_mask(
-        cls_mask, score, min_size=0.0, rule="mean_float", scale=cca_scale,
+        cls_mask, score, min_size=0.0, rule=cca_rule, scale=cca_scale,
         fixed_sweeps=cca_sweeps, with_flag=True)
     return comp, found & (count > min_count), converged
 
@@ -155,7 +175,8 @@ def _full_prediction_jit(seg_vars, pose_vars, refine_vars,
     """models_static: (seg_model, posenet, refiner, num_classes_fg, num_points,
     crop, refine_iters) — hashable module refs + ints."""
     (seg_model, posenet, refiner, k_fg, num_points, crop,
-     refine_iters, agg_topk, cca_scale, cca_sweeps) = models_static
+     refine_iters, agg_topk, cca_scale, cca_sweeps,
+     cca_rule) = models_static
     # depth may arrive in the camera's raw dtype (uint16) — casting on
     # device instead of the host halves the depth uplink bytes on remote
     # links (serve_stream uploads it as-is)
@@ -169,8 +190,9 @@ def _full_prediction_jit(seg_vars, pose_vars, refine_vars,
     masks, found, cca_converged = jax.vmap(
         lambda sp, c: _class_mask(sp, pred_arg, c,
                                   cca_scale=cca_scale,
-                                  cca_sweeps=cca_sweeps))(score_planes,
-                                                          cls_ids)
+                                  cca_sweeps=cca_sweeps,
+                                  cca_rule=cca_rule))(score_planes,
+                                                      cls_ids)
 
     keys = jax.random.split(key, k_fg)
 
@@ -248,7 +270,8 @@ def _full_prediction_batched_jit(seg_vars, pose_vars, refine_vars, images,
     (dryrun_multichip); B*K reshapes keep the leading (sharded) dim a
     multiple of B so SPMD partitioning stays collective-free."""
     (seg_model, posenet, refiner, k_fg, num_points, crop,
-     refine_iters, agg_topk, cca_scale, cca_sweeps) = models_static
+     refine_iters, agg_topk, cca_scale, cca_sweeps,
+     cca_rule) = models_static
     depths = depths.astype(jnp.float32)  # raw-dtype uplink, device cast
     b, h_img, w_img = depths.shape
     lanes = b * k_fg
@@ -268,7 +291,7 @@ def _full_prediction_batched_jit(seg_vars, pose_vars, refine_vars, images,
         count = jnp.sum(cls_mask.astype(jnp.int32))
         comp, found, converged = cca_ops.best_component_mask(
             cls_mask, jnp.where(cls_mask, score, 0.0), min_size=0.0,
-            rule="mean_float", scale=cca_scale, fixed_sweeps=cca_sweeps,
+            rule=cca_rule, scale=cca_scale, fixed_sweeps=cca_sweeps,
             with_flag=True)
         return comp, found & (count > 100), converged
 
@@ -325,7 +348,7 @@ def _pose_from_mask_jit(pose_vars, refine_vars, image, depth, mask, intr,
     # cls_idx is a TRACED scalar (it only selects the per-object head row),
     # so per-class attribution sweeps reuse one compilation across classes
     (_, posenet, refiner, _, num_points, crop, refine_iters,
-     agg_topk, _cca_scale, _cca_sweeps) = models_static
+     agg_topk, _cca_scale, _cca_sweeps, _cca_rule) = models_static
     h_img, w_img = depth.shape
     r0, c0, win = proj.zoom_window_bbox(mask, crop, h_img, w_img)
     cloud, choose, count = proj.backproject_choose_zoom(
@@ -374,7 +397,8 @@ def build_models(num_classes_fg: int, model_points: np.ndarray,
                  cca_sweeps: int = 3,
                  emb_stride: int = 8,
                  emb_resize_late: bool = False,
-                 dil_s2b: bool = False) -> PredictionModels:
+                 dil_s2b: bool = False,
+                 cca_rule: str = "sum") -> PredictionModels:
     """Construct (or wrap loaded) model variables into a PredictionModels."""
     seg_model = unet.UNet(classes=num_classes_fg + 1, dtype=dtype)
     posenet = densefusion.PoseNet(num_obj=num_classes_fg, dtype=dtype,
@@ -400,7 +424,7 @@ def build_models(num_classes_fg: int, model_points: np.ndarray,
         seg_model, seg_vars, posenet, pose_vars, refiner, refine_vars,
         tuple(classes), jnp.asarray(model_points, jnp.float32),
         num_points, crop, refine_iters, agg_topk, cca_scale, cca_sweeps,
-        emb_stride, emb_resize_late, dil_s2b)
+        emb_stride, emb_resize_late, dil_s2b, cca_rule)
 
 
 def dataset_has_symmetric(root: str, classes) -> bool:

@@ -41,7 +41,7 @@ GRAPH_CONFIGS = {
 # cumulative prefixes of the headline serving graph (shared builders in
 # utils/serving_stages.py — the SAME step functions bench_prefix times on
 # the chip; stage FLOPs = consecutive diffs)
-for _p in ("seg", "seg_cca", "perclass", "full"):
+for _p in ("seg", "seg_cca", "perclass", "estimator", "full"):
     GRAPH_CONFIGS[f"serving_prefix_{_p}"] = dict(
         num_classes=5, num_points=1000, crop=320, h=480, w=640,
         refine_iters=2, emb_stride=8, prefix=_p)
@@ -151,7 +151,7 @@ _GRAPHS = {
     "serving_graph_s2": lambda: _build_serving_graph("serving_graph_s2"),
     "densefusion_train_step": _build_densefusion_train_step,
 }
-for _p in ("seg", "seg_cca", "perclass", "full"):
+for _p in ("seg", "seg_cca", "perclass", "estimator", "full"):
     _name = f"serving_prefix_{_p}"
     _GRAPHS[_name] = (lambda n=_name: _build_serving_prefix(n))
 

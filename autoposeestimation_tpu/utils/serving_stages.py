@@ -73,7 +73,8 @@ def build_prefixes(num_classes: int = 5, num_points: int = 1000,
         return jax.vmap(
             lambda sp, cl: predict._class_mask(sp, pred_arg, cl,
                                                cca_scale=cca_scale,
-                                               cca_sweeps=cca_sweeps))(
+                                               cca_sweeps=cca_sweeps,
+                                               cca_rule=models.cca_rule))(
             jnp.transpose(probs, (2, 0, 1))[1:num_classes + 1], cls_ids)
 
     def perclass(masks, i):
@@ -90,13 +91,13 @@ def build_prefixes(num_classes: int = 5, num_points: int = 1000,
 
         return jax.vmap(per_class)(masks, keys)
 
-    def pose(clouds, chooses, crops):
+    def pose(clouds, chooses, crops, iters=refine_iters):
         pred_r, pred_t, pred_c, emb = models.posenet.apply(
             models.pose_vars, crops, clouds, chooses, obj_idx)
         quat, trans = losses.estimator_prediction(pred_r, pred_t, pred_c,
                                                   clouds)
         new_points = losses.rebase_points(quat, trans, clouds)
-        for _ in range(refine_iters):
+        for _ in range(iters):
             dr, dt = models.refiner.apply(models.refine_vars, new_points,
                                           emb, obj_idx)
             quat, trans = losses.compose_refined(dr, dt, quat, trans)
@@ -121,6 +122,13 @@ def build_prefixes(num_classes: int = 5, num_points: int = 1000,
                + chooses.sum()) * 0
         return dep.astype(jnp.uint8), counts
 
+    def prefix_estimator(c, i):
+        probs, pred_arg = seg(c)
+        masks, found, _cv = cca(probs, pred_arg)
+        clouds, chooses, counts, crops = perclass(masks, i)
+        quat, trans = pose(clouds, chooses, crops, iters=0)
+        return (trans.sum() * 0).astype(jnp.uint8), trans
+
     def prefix_full(c, i):
         probs, pred_arg = seg(c)
         masks, found, _cv = cca(probs, pred_arg)
@@ -129,13 +137,15 @@ def build_prefixes(num_classes: int = 5, num_points: int = 1000,
         return (trans.sum() * 0).astype(jnp.uint8), trans
 
     steps = {"seg": prefix_seg, "seg_cca": prefix_seg_cca,
-             "perclass": prefix_perclass, "full": prefix_full}
+             "perclass": prefix_perclass, "estimator": prefix_estimator,
+             "full": prefix_full}
     return steps, models
 
 
 # ordered prefix names; stage k's cost = prefix[k] - prefix[k-1]
-PREFIX_ORDER = ("seg", "seg_cca", "perclass", "full")
+PREFIX_ORDER = ("seg", "seg_cca", "perclass", "estimator", "full")
 STAGE_LABELS = {"seg": "U-Net fwd + softmax/argmax",
                 "seg_cca": "+ per-class CCA",
                 "perclass": "+ crop/choose/backproject",
-                "full": "+ PoseNet + refine"}
+                "estimator": "+ PoseNet estimator (refine off)",
+                "full": "+ iterative refine"}

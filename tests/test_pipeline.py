@@ -53,6 +53,39 @@ def test_full_prediction_contract(models):
         np.testing.assert_allclose(np.linalg.norm(p["rotation"]), 1.0, atol=1e-4)
 
 
+def test_class_mask_sum_rule_rejects_confident_fragment():
+    """Round-5 serving-attribution regression: two components of one class —
+    the true body (large, mean prob 0.98) and a small false-positive
+    fragment on another object (mean prob 0.99). The reference's live-path
+    mean rule picks the fragment (12/36 held-out frames for the demo's
+    obj2, served ADD 88 mm); the serving default cca_rule='sum' must pick
+    the body, and cca_rule='mean_float' must stay reference-exact."""
+    h, w = 48, 64
+    pred_arg = np.zeros((h, w), np.int32)
+    score = np.zeros((h, w), np.float32)
+    pred_arg[10:24, 8:24] = 1          # body: 14x16 = 224 px
+    score[10:24, 8:24] = 0.98
+    pred_arg[30:40, 40:52] = 1         # fragment: 10x12 = 120 px
+    score[30:40, 40:52] = 0.99
+    body = (slice(10, 24), slice(8, 24))
+    frag = (slice(30, 40), slice(40, 52))
+
+    for scale in (1, 8):
+        comp, found, _ = predict._class_mask(
+            jnp.asarray(score), jnp.asarray(pred_arg), 1,
+            cca_scale=scale, cca_sweeps=3)
+        comp = np.asarray(comp)
+        assert bool(found)
+        assert comp[body].all() and not comp[frag].any(), f"scale={scale}"
+
+        ref, found_ref, _ = predict._class_mask(
+            jnp.asarray(score), jnp.asarray(pred_arg), 1,
+            cca_scale=scale, cca_sweeps=3, cca_rule="mean_float")
+        ref = np.asarray(ref)
+        assert bool(found_ref)
+        assert ref[frag].all() and not ref[body].any(), f"scale={scale}"
+
+
 def test_mask_bitpacking_roundtrip():
     """_pack_masks (device, MSB-first) and _unpack_masks (host
     np.unpackbits) are exact inverses — the packed form is the masks' 8x
