@@ -65,8 +65,13 @@ class DFConfig:
     # bf16 distance matmuls in the symmetric-loss TRAIN kernel (~3x on the
     # dominant training op; ~3% moment noise — eval/checkpoint selection
     # stays exact f32). ops/pallas_addloss._cross_dtype documents the
-    # cancellation caveat near convergence.
-    sym_bf16: bool = False
+    # cancellation caveat near convergence. Default ON since the round-5
+    # promotion gate (artifacts/gate_symbf16_round5.json): a 120-epoch twin
+    # of the 5-object demo matched the exact run's best test ADD within
+    # 0.06 mm and every class's n=36 held-out served ADD within 2.7 mm,
+    # with margin-fired transitions and clean grad norms — for a measured
+    # 79.7 -> 70.4 ms estimator step (-12%).
+    sym_bf16: bool = True
     # space-to-batch lowering of the PSPNet's dilated layer-3/4 blocks
     # (mathematically exact, param-compatible — models/resnet.
     # BasicBlockPlain); flip only behind an on-chip A/B win (bench_blocks)
