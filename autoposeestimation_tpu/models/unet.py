@@ -28,9 +28,18 @@ class DecoderBlock(nn.Module):
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, skip=None, train: bool = False):
-        x = upsample_nearest_2x(x)
+    def __call__(self, x, skip=None, train: bool = False,
+                 upsample: bool = True, pool_skip: int = 1):
+        if upsample:
+            x = upsample_nearest_2x(x)
         if skip is not None:
+            if pool_skip > 1:
+                # out_stride relowering: the block stays on x's coarse
+                # lattice, so subsample the finer skip down to it. Strided
+                # nearest subsampling (not avg_pool) because it reproduces
+                # the encoder's ceil-mode dims exactly on odd sizes:
+                # ceil(ceil(H/2)/2) == ceil(H/4) == len(range(0, ceil(H/2), 2))
+                skip = skip[:, ::pool_skip, ::pool_skip, :]
             # ceil-mode stride-2 encoders overshoot on odd dims (15 -> 8 ->
             # upsampled 16); crop to the skip — a no-op for /32-aligned inputs
             x = x[:, :skip.shape[1], :skip.shape[2], :]
@@ -56,13 +65,28 @@ class UNet(nn.Module):
     `remat=True` rematerializes the encoder in the backward pass
     (jax.checkpoint) — trades ~25% more FLOPs for dropping the encoder
     activations from HBM, enabling larger batches at full 480x640 on a
-    16 GB chip."""
+    16 GB chip.
+
+    `out_stride` (serving relowering, round-5 roofline): the decoder stops
+    UPSAMPLING once the lattice reaches /out_stride — blocks whose nominal
+    output would be finer run on the /out_stride grid instead, with their
+    encoder skips nearest-subsampled down to it, and the head emits logits
+    at (ceil(H/s), ceil(W/s)). The param tree is IDENTICAL to out_stride=1
+    (every conv keeps its channel counts; only lattices shrink), so trained
+    weights are stride-interchangeable. Motivation: the last two decoder
+    blocks + head convolve 16/32-channel maps on the full/half-res lattices
+    — shapes that cannot fill the 128-lane MXU — and together held the
+    serving U-Net stage at ~14 TF/s while the pose stages ran at 85-100
+    (docs/ROUND5.md task 2). out_stride=1 is the exact default; serving
+    callers opt in via build_models(seg_out_stride=...), ADD-gated like
+    emb_stride."""
 
     classes: int
     decoder_channels: Sequence[int] = (256, 128, 64, 32, 16)
     encoder_stages: Sequence[int] = (3, 4, 6, 3)
     dtype: Dtype = jnp.bfloat16
     remat: bool = False
+    out_stride: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -74,8 +98,16 @@ class UNet(nn.Module):
         # skips, deepest first: [/16, /8, /4, /2], then None at full res
         skips = [feats[3], feats[2], feats[1], feats[0], None]
         y = feats[4]
-        for features, skip in zip(self.decoder_channels, skips):
-            y = DecoderBlock(features, dtype=self.dtype)(y, skip, train)
+        # nominal output lattice of each decoder block
+        strides = (16, 8, 4, 2, 1)
+        for features, skip, nominal in zip(self.decoder_channels, skips,
+                                           strides):
+            if nominal >= self.out_stride:
+                y = DecoderBlock(features, dtype=self.dtype)(y, skip, train)
+            else:
+                y = DecoderBlock(features, dtype=self.dtype)(
+                    y, skip, train, upsample=False,
+                    pool_skip=self.out_stride // nominal)
         logits = nn.Conv(self.classes, (3, 3), padding=1,
                          dtype=jnp.float32)(y.astype(jnp.float32))
         return logits

@@ -131,6 +131,10 @@ def _unpack_masks(packed: np.ndarray) -> np.ndarray:
 
 
 def _segment(seg_model, seg_vars, image):
+    """probs/argmax at the seg model's output lattice — full res for the
+    exact out_stride=1 build, (ceil(H/s), ceil(W/s)) for the relowered
+    serving decoder (unet.UNet.out_stride). Callers read the stride off
+    the module and upsample the (much smaller) downstream masks instead."""
     x = normalize_imagenet(image)[None]
     logits = seg_model.apply(seg_vars, x)[0]
     probs = jax.nn.softmax(logits, axis=-1)
@@ -138,9 +142,26 @@ def _segment(seg_model, seg_vars, image):
     return probs, pred_arg
 
 
+def _upsample_plane(p, s: int, hw):
+    """Nearest-upsample the last two axes by s and fit to hw (crop the
+    ceil-mode overshoot; zero/False-pad the pathological odd-dim shortfall).
+    Exact inverse of the lattice reduction for block-constant planes."""
+    if s == 1:
+        return p
+    p = jnp.repeat(jnp.repeat(p, s, axis=-2), s, axis=-1)
+    h, w = hw
+    ph, pw = p.shape[-2], p.shape[-1]
+    if ph < h or pw < w:
+        pad = [(0, 0)] * (p.ndim - 2) + [(0, max(0, h - ph)),
+                                         (0, max(0, w - pw))]
+        p = jnp.pad(p, pad)
+    return p[..., :h, :w]
+
+
 def _class_mask(score_plane, pred_arg, cls_id, min_count: int = 100,
                 cca_scale: int = 1, cca_sweeps: int = 0,
-                cca_rule: str = "sum"):
+                cca_rule: str = "sum", seg_stride: int = 1,
+                full_hw=None):
     """Largest-mean-probability connected component of one class
     (pipeline/utils.py:444-467). cls_id is 1-based (0 = background);
     `score_plane` is that class's (H, W) probability plane — callers slice
@@ -150,9 +171,16 @@ def _class_mask(score_plane, pred_arg, cls_id, min_count: int = 100,
 
     cca_scale > 1 labels components on a pooled mask (ops/cca.py) — the
     label-propagation sweeps dominate the fused graph's latency at full
-    resolution; the found-gate count stays full-res."""
+    resolution; the found-gate count stays full-res.
+
+    seg_stride > 1: the planes arrive on the relowered decoder's /s lattice
+    (unet.UNet.out_stride). The CCA pooling factor shrinks by s so the
+    absolute component grid is unchanged, the found-gate count is scaled
+    back to full-res pixels, and the selected component mask is
+    nearest-upsampled to `full_hw` before return — downstream (crop /
+    choose / backproject against the full-res depth) is stride-blind."""
     cls_mask = pred_arg == cls_id
-    count = jnp.sum(cls_mask.astype(jnp.int32))
+    count = jnp.sum(cls_mask.astype(jnp.int32)) * (seg_stride * seg_stride)
     # the reference scores components by mean(class_id * prob); the class-id
     # factor is constant within a class so plain prob picks the same
     # component. cca_rule="sum" (the serving default, see PredictionModels.
@@ -161,8 +189,11 @@ def _class_mask(score_plane, pred_arg, cls_id, min_count: int = 100,
     # from out-scoring the true body; "mean_float" is reference-exact.
     score = jnp.where(cls_mask, score_plane, 0.0)
     comp, found, converged = cca_ops.best_component_mask(
-        cls_mask, score, min_size=0.0, rule=cca_rule, scale=cca_scale,
+        cls_mask, score, min_size=0.0, rule=cca_rule,
+        scale=max(1, cca_scale // seg_stride),
         fixed_sweeps=cca_sweeps, with_flag=True)
+    if seg_stride > 1:
+        comp = _upsample_plane(comp, seg_stride, full_hw)
     return comp, found & (count > min_count), converged
 
 
@@ -181,6 +212,7 @@ def _full_prediction_jit(seg_vars, pose_vars, refine_vars,
     # device instead of the host halves the depth uplink bytes on remote
     # links (serve_stream uploads it as-is)
     depth = depth.astype(jnp.float32)
+    seg_stride = getattr(seg_model, "out_stride", 1)
 
     probs, pred_arg = _segment(seg_model, seg_vars, image)
 
@@ -191,8 +223,10 @@ def _full_prediction_jit(seg_vars, pose_vars, refine_vars,
         lambda sp, c: _class_mask(sp, pred_arg, c,
                                   cca_scale=cca_scale,
                                   cca_sweeps=cca_sweeps,
-                                  cca_rule=cca_rule))(score_planes,
-                                                      cls_ids)
+                                  cca_rule=cca_rule,
+                                  seg_stride=seg_stride,
+                                  full_hw=depth.shape))(score_planes,
+                                                        cls_ids)
 
     keys = jax.random.split(key, k_fg)
 
@@ -227,7 +261,9 @@ def _full_prediction_jit(seg_vars, pose_vars, refine_vars,
         "masks": masks,
         "quats": quat,
         "positions": trans,
-        "argmax": pred_arg,
+        # argmax keeps the full-res contract for viewers/tests even when
+        # the relowered decoder computed it on the /s lattice
+        "argmax": _upsample_plane(pred_arg, seg_stride, depth.shape),
         # per-class: False iff the fixed-sweep CCA budget was too small for
         # this frame's component geometry (fragment may have been selected);
         # cheap exact check, see ops/cca.connected_components(with_flag)
@@ -275,24 +311,29 @@ def _full_prediction_batched_jit(seg_vars, pose_vars, refine_vars, images,
     depths = depths.astype(jnp.float32)  # raw-dtype uplink, device cast
     b, h_img, w_img = depths.shape
     lanes = b * k_fg
+    seg_stride = getattr(seg_model, "out_stride", 1)
 
     x = normalize_imagenet(images)
     logits = seg_model.apply(seg_vars, x)
     probs = jax.nn.softmax(logits, axis=-1)
-    pred_arg = jnp.argmax(probs, axis=-1).astype(jnp.int32)  # (B, H, W)
+    pred_arg = jnp.argmax(probs, axis=-1).astype(jnp.int32)  # (B, H/s, W/s)
+    h_s, w_s = pred_arg.shape[1], pred_arg.shape[2]
 
     cls_ids = jnp.arange(1, k_fg + 1, dtype=jnp.int32)
     score_planes = jnp.transpose(probs, (0, 3, 1, 2))[:, 1:k_fg + 1]
-    lane_scores = score_planes.reshape(lanes, h_img, w_img)
+    lane_scores = score_planes.reshape(lanes, h_s, w_s)
     lane_cls_masks = (pred_arg[:, None] == cls_ids[None, :, None, None]
-                      ).reshape(lanes, h_img, w_img)
+                      ).reshape(lanes, h_s, w_s)
 
     def lane_cca(cls_mask, score):
-        count = jnp.sum(cls_mask.astype(jnp.int32))
+        count = (jnp.sum(cls_mask.astype(jnp.int32))
+                 * (seg_stride * seg_stride))
         comp, found, converged = cca_ops.best_component_mask(
             cls_mask, jnp.where(cls_mask, score, 0.0), min_size=0.0,
-            rule=cca_rule, scale=cca_scale, fixed_sweeps=cca_sweeps,
-            with_flag=True)
+            rule=cca_rule, scale=max(1, cca_scale // seg_stride),
+            fixed_sweeps=cca_sweeps, with_flag=True)
+        if seg_stride > 1:
+            comp = _upsample_plane(comp, seg_stride, (h_img, w_img))
         return comp, found & (count > 100), converged
 
     masks, found, cca_converged = jax.vmap(lane_cca)(lane_cls_masks,
@@ -334,7 +375,7 @@ def _full_prediction_batched_jit(seg_vars, pose_vars, refine_vars, images,
         "masks": rs(masks),
         "quats": rs(quat),
         "positions": rs(trans),
-        "argmax": pred_arg,
+        "argmax": _upsample_plane(pred_arg, seg_stride, (h_img, w_img)),
         "cca_converged": rs(cca_converged),
     }
     if masks.shape[-1] % 8 == 0:
@@ -398,9 +439,18 @@ def build_models(num_classes_fg: int, model_points: np.ndarray,
                  emb_stride: int = 8,
                  emb_resize_late: bool = False,
                  dil_s2b: bool = False,
-                 cca_rule: str = "sum") -> PredictionModels:
-    """Construct (or wrap loaded) model variables into a PredictionModels."""
-    seg_model = unet.UNet(classes=num_classes_fg + 1, dtype=dtype)
+                 cca_rule: str = "sum",
+                 seg_out_stride: int = 1) -> PredictionModels:
+    """Construct (or wrap loaded) model variables into a PredictionModels.
+
+    seg_out_stride > 1 (power of two) relowers the U-Net decoder's last
+    blocks onto the /s lattice (unet.UNet.out_stride — identical param
+    tree, stride-interchangeable weights); the serving graphs upsample the
+    component masks back to full res. ADD-gated like emb_stride before any
+    default flips."""
+    assert seg_out_stride in (1, 2, 4, 8), seg_out_stride
+    seg_model = unet.UNet(classes=num_classes_fg + 1, dtype=dtype,
+                          out_stride=seg_out_stride)
     posenet = densefusion.PoseNet(num_obj=num_classes_fg, dtype=dtype,
                                   emb_stride=emb_stride,
                                   emb_resize_late=emb_resize_late,
@@ -450,7 +500,8 @@ def dataset_has_symmetric(root: str, classes) -> bool:
 
 def get_prediction_models(root: str, data_set_name: str,
                           dtype=jnp.bfloat16,
-                          emb_stride: Optional[int] = None) -> PredictionModels:
+                          emb_stride: Optional[int] = None,
+                          seg_out_stride: int = 1) -> PredictionModels:
     """Load classes, per-class model clouds (mm -> m), and trained weights —
     parity with /root/reference/pipeline/utils.py:643-718.
 
@@ -492,7 +543,8 @@ def get_prediction_models(root: str, data_set_name: str,
     return build_models(len(classes), model_points, classes,
                         seg_vars=seg_vars, pose_vars=pose_vars,
                         refine_vars=refine_vars, dtype=dtype,
-                        emb_stride=emb_stride)
+                        emb_stride=emb_stride,
+                        seg_out_stride=seg_out_stride)
 
 
 def _intr_vec(meta: Dict) -> np.ndarray:

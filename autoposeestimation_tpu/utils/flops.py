@@ -34,6 +34,14 @@ GRAPH_CONFIGS = {
                                 h=480, w=640, refine_iters=2, emb_stride=1),
     "serving_graph_s2": dict(num_classes=5, num_points=1000, crop=320,
                              h=480, w=640, refine_iters=2, emb_stride=2),
+    # the round-5 U-Net decoder relowering (unet.UNet.out_stride=4): same
+    # pose path, seg decoder's last blocks on the /4 lattice
+    "serving_graph_u4": dict(num_classes=5, num_points=1000, crop=320,
+                             h=480, w=640, refine_iters=2, emb_stride=8,
+                             seg_out_stride=4),
+    "serving_graph_s2_u4": dict(num_classes=5, num_points=1000, crop=320,
+                                h=480, w=640, refine_iters=2, emb_stride=2,
+                                seg_out_stride=4),
     "densefusion_train_step": dict(batch=8, n=1000, m=500, crop=320,
                                    num_obj=5),
 }
@@ -45,6 +53,10 @@ for _p in ("seg", "seg_cca", "perclass", "estimator", "full"):
     GRAPH_CONFIGS[f"serving_prefix_{_p}"] = dict(
         num_classes=5, num_points=1000, crop=320, h=480, w=640,
         refine_iters=2, emb_stride=8, prefix=_p)
+    # the same prefixes with the relowered U-Net decoder (out_stride=4)
+    GRAPH_CONFIGS[f"serving_prefix_{_p}_u4"] = dict(
+        num_classes=5, num_points=1000, crop=320, h=480, w=640,
+        refine_iters=2, emb_stride=8, seg_out_stride=4, prefix=_p)
 
 # train-step stages (shared builders in utils/train_stages.py — the same
 # graphs bench_prefix times; m follows DFConfig.num_points_mesh)
@@ -73,7 +85,8 @@ def _build_serving_graph(name: str = "serving_graph"):
         classes=tuple(f"obj{i}" for i in range(cfg["num_classes"])),
         num_points=cfg["num_points"], crop=cfg["crop"],
         refine_iters=cfg["refine_iters"], dtype=jnp.bfloat16,
-        img_hw=(cfg["h"], cfg["w"]), emb_stride=cfg["emb_stride"])
+        img_hw=(cfg["h"], cfg["w"]), emb_stride=cfg["emb_stride"],
+        seg_out_stride=cfg.get("seg_out_stride", 1))
     static = predict.static_tuple(models)
     # image/depth must be function ARGS, not closed-over constants: XLA
     # constant-folds whole U-Net stages fed by constants out of the
@@ -149,11 +162,15 @@ _GRAPHS = {
     "serving_graph_exact": lambda: _build_serving_graph(
         "serving_graph_exact"),
     "serving_graph_s2": lambda: _build_serving_graph("serving_graph_s2"),
+    "serving_graph_u4": lambda: _build_serving_graph("serving_graph_u4"),
+    "serving_graph_s2_u4": lambda: _build_serving_graph(
+        "serving_graph_s2_u4"),
     "densefusion_train_step": _build_densefusion_train_step,
 }
 for _p in ("seg", "seg_cca", "perclass", "estimator", "full"):
-    _name = f"serving_prefix_{_p}"
-    _GRAPHS[_name] = (lambda n=_name: _build_serving_prefix(n))
+    for _suffix in ("", "_u4"):
+        _name = f"serving_prefix_{_p}{_suffix}"
+        _GRAPHS[_name] = (lambda n=_name: _build_serving_prefix(n))
 
 
 def _build_train_stage(name: str):

@@ -22,7 +22,8 @@ import numpy as np
 
 def build_prefixes(num_classes: int = 5, num_points: int = 1000,
                    crop: int = 320, h: int = 480, w: int = 640,
-                   refine_iters: int = 2, emb_stride: int = 8):
+                   refine_iters: int = 2, emb_stride: int = 8,
+                   seg_out_stride: int = 1):
     """Build the fused-serving-graph prefix step functions.
 
     Returns (steps, models) where steps maps name -> step(c, i) ->
@@ -45,7 +46,8 @@ def build_prefixes(num_classes: int = 5, num_points: int = 1000,
         num_classes_fg=num_classes, model_points=model_points,
         classes=tuple(f"obj{i}" for i in range(num_classes)),
         num_points=num_points, crop=crop, refine_iters=refine_iters,
-        dtype=jnp.bfloat16, img_hw=(h, w), emb_stride=emb_stride)
+        dtype=jnp.bfloat16, img_hw=(h, w), emb_stride=emb_stride,
+        seg_out_stride=seg_out_stride)
     cca_scale, cca_sweeps = models.cca_scale, models.cca_sweeps
 
     cfg = synthetic.SynthConfig(img_h=h, img_w=w, fx=600.0, fy=600.0,
@@ -74,7 +76,9 @@ def build_prefixes(num_classes: int = 5, num_points: int = 1000,
             lambda sp, cl: predict._class_mask(sp, pred_arg, cl,
                                                cca_scale=cca_scale,
                                                cca_sweeps=cca_sweeps,
-                                               cca_rule=models.cca_rule))(
+                                               cca_rule=models.cca_rule,
+                                               seg_stride=seg_out_stride,
+                                               full_hw=(h, w)))(
             jnp.transpose(probs, (2, 0, 1))[1:num_classes + 1], cls_ids)
 
     def perclass(masks, i):

@@ -75,7 +75,8 @@ def main():
         num_classes_fg=num_classes, model_points=model_points,
         classes=tuple(f"obj{i}" for i in range(num_classes)),
         num_points=num_points, crop=crop, refine_iters=refine_iters,
-        dtype=jnp.bfloat16, img_hw=(h, w), emb_stride=_CONFIG["emb_stride"])
+        dtype=jnp.bfloat16, img_hw=(h, w), emb_stride=_CONFIG["emb_stride"],
+        seg_out_stride=_CONFIG.get("seg_out_stride", 1))
 
     static = predict.static_tuple(models)
 

@@ -88,6 +88,12 @@ def main():
     p.add_argument("--img-w", type=int, default=MULTI_IMG_HW[1])
     p.add_argument("--family", default="a", choices=tuple(SCENE_FAMILIES))
     p.add_argument("--refine-iters", type=int, default=2)
+    p.add_argument("--seg-out-stride", type=int, default=1,
+                   choices=(1, 2, 4, 8),
+                   help="U-Net decoder out_stride for the SERVED graphs "
+                        "(unet.UNet.out_stride relowering) — the ADD gate "
+                        "for promoting it; the stride-1 reference graph "
+                        "and the pose_from_mask stages stay exact")
     p.add_argument("--ablate", action="store_true",
                    help="also re-serve the predicted masks with crop 320, "
                         "choose 1000, and refine-off pose graphs")
@@ -136,20 +142,26 @@ def main():
     refine_vars = checkpoints.load_checkpoint(
         os.path.join(pose_dir, "pose_refine_model.npz"))["variables"]
 
-    def build(crop, num_pt, stride, refine_iters):
+    def build(crop, num_pt, stride, refine_iters, seg_out_stride=1):
         return predict.build_models(
             num_classes_fg=num_obj, model_points=model_points,
             classes=tuple(classes), seg_vars=seg_vars, pose_vars=pose_vars,
             refine_vars=refine_vars, num_points=num_pt, crop=crop,
             refine_iters=refine_iters, dtype=jnp.bfloat16,
-            img_hw=img_hw, emb_stride=stride)
+            img_hw=img_hw, emb_stride=stride,
+            seg_out_stride=seg_out_stride)
 
     strides = [int(s) for s in args.strides.split(",") if s]
     graph_strides = (sorted(set(strides)) if args.serve_only
                      else sorted(set(strides) | {1}))
-    graphs = {s: build(args.crop, args.num_pt, s, args.refine_iters)
+    graphs = {s: build(args.crop, args.num_pt, s, args.refine_iters,
+                       seg_out_stride=args.seg_out_stride)
               for s in graph_strides}
     m_exact = graphs.get(1)
+    if args.seg_out_stride != 1 and not args.serve_only:
+        # the attribution reference stages must stay seg-exact even when
+        # the served conditions run the relowered decoder
+        m_exact = build(args.crop, args.num_pt, 1, args.refine_iters)
     ablations = {}
     if args.ablate and not args.serve_only:
         ablations = {
@@ -246,6 +258,7 @@ def main():
 
     result = {"n_frames": args.frames, "conditions": conds,
               "crop": args.crop, "num_pt": args.num_pt,
+              "seg_out_stride": args.seg_out_stride,
               "per_class": {}}
     for c in classes:
         row = {"sym": sym_flags[c],

@@ -50,20 +50,24 @@ def emit(metric, seconds, extra=None):
     print(json.dumps(d), flush=True)
 
 
-def serving_section():
+def serving_section(seg_out_stride: int = 1):
     """Roofline table: per-stage ms (consecutive prefix diffs), CPU-counted
     GFLOPs of the SAME graphs (utils/serving_stages.py is the single source
-    of truth for both), and TF/s — reconciled against the full-graph rate."""
+    of truth for both), and TF/s — reconciled against the full-graph rate.
+    seg_out_stride=4 times the relowered-decoder (UNet.out_stride) variant
+    against its own FLOP counts (serving_prefix_*_u4)."""
     from autoposeestimation_tpu.utils import flops as flops_mod
     from autoposeestimation_tpu.utils import serving_stages
 
-    steps, _models = serving_stages.build_prefixes()
+    suffix = {1: "", 4: "_u4"}[seg_out_stride]
+    steps, _models = serving_stages.build_prefixes(
+        seg_out_stride=seg_out_stride)
     times, gflops = {}, {}
     for name in serving_stages.PREFIX_ORDER:
         times[name] = scan_time(steps[name], jnp.uint8(0))
-        f = flops_mod.cached_flops(f"serving_prefix_{name}")
+        f = flops_mod.cached_flops(f"serving_prefix_{name}{suffix}")
         gflops[name] = f / 1e9 if f else None
-        emit(f"prefix_{name}", times[name],
+        emit(f"prefix_{name}{suffix}", times[name],
              {"gflop": round(gflops[name], 2) if gflops[name] else None})
 
     rows = []
@@ -80,6 +84,7 @@ def serving_section():
         prev_f = gflops[name] if gflops[name] is not None else prev_f
     full_s = times["full"]
     print(json.dumps({"metric": "serving_stage_table", "rows": rows,
+                      "seg_out_stride": seg_out_stride,
                       "total_ms": round(full_s * 1000, 2),
                       "fps": round(1.0 / full_s, 2),
                       "total_gflop": round(prev_f, 2)}), flush=True)
@@ -141,6 +146,8 @@ def main():
     emit("probe_matmul_1k", time.perf_counter() - t0)
     if "--train-only" not in sys.argv:
         serving_section()
+        if "--u4" in sys.argv:
+            serving_section(seg_out_stride=4)
     if "--serve-only" not in sys.argv:
         train_section()
 

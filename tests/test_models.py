@@ -26,6 +26,28 @@ def test_unet_7channel_binary():
     assert logits.shape == (1, 64, 64, 2)
 
 
+def test_unet_out_stride_relowering():
+    """out_stride=4 (the round-5 serving relowering of the below-ceiling
+    full/half-res decoder blocks) must (a) keep an IDENTICAL param tree to
+    the exact build — trained weights are stride-interchangeable — and
+    (b) emit logits on the ceil(/4) lattice, including the ceil-mode odd-dim
+    chain (50 -> 25 -> 13) where the skip subsampling must land on the
+    encoder's ceil dims exactly."""
+    exact = unet.UNet(classes=4, dtype=jnp.float32)
+    low = unet.UNet(classes=4, dtype=jnp.float32, out_stride=4)
+    x = jnp.zeros((1, 64, 96, 3))
+    v_exact = exact.init(jax.random.PRNGKey(0), x)
+    v_low = low.init(jax.random.PRNGKey(0), x)
+    shapes = lambda v: jax.tree_util.tree_map(lambda a: a.shape, v)
+    assert shapes(v_exact) == shapes(v_low)
+    y = low.apply(v_exact, x)          # exact weights in the relowered build
+    assert y.shape == (1, 16, 24, 4)
+    y_odd = low.apply(low.init(jax.random.PRNGKey(1),
+                               jnp.zeros((1, 100, 50, 3))),
+                      jnp.zeros((1, 100, 50, 3)))
+    assert y_odd.shape == (1, 25, 13, 4)
+
+
 def test_unet_non_div32_dims():
     # 120 -> /8 = 15 (odd): the ceil-mode encoder overshoots on the 2x
     # upsample and the decoder must crop back to the skip (regression: the

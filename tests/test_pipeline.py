@@ -86,6 +86,65 @@ def test_class_mask_sum_rule_rejects_confident_fragment():
         assert ref[frag].all() and not ref[body].any(), f"scale={scale}"
 
 
+def test_class_mask_seg_stride_lattice():
+    """seg_stride > 1 (the relowered U-Net decoder): planes arrive on the
+    /s lattice, the found-count gate is scaled back to full-res pixels, and
+    the selected component returns nearest-upsampled at full_hw. Component
+    SELECTION must match running the same scene at full res."""
+    h, w, s = 48, 64, 2
+    pred_arg = np.zeros((h, w), np.int32)
+    score = np.zeros((h, w), np.float32)
+    pred_arg[8:24, 8:32] = 1           # body, 16x24
+    score[8:24, 8:32] = 0.9
+    pred_arg[36:44, 40:56] = 1         # smaller fragment
+    score[36:44, 40:56] = 0.95
+    full, found_full, _ = predict._class_mask(
+        jnp.asarray(score), jnp.asarray(pred_arg), 1, cca_scale=4,
+        cca_sweeps=3)
+    low, found_low, _ = predict._class_mask(
+        jnp.asarray(score[::s, ::s]), jnp.asarray(pred_arg[::s, ::s]), 1,
+        cca_scale=4, cca_sweeps=3, seg_stride=s, full_hw=(h, w))
+    assert bool(found_full) and bool(found_low)
+    low = np.asarray(low)
+    assert low.shape == (h, w)
+    # block-aligned components: the upsampled /2 selection IS the full-res one
+    np.testing.assert_array_equal(low, np.asarray(full))
+    # found-count gate scales by s^2: a 36-px full-res body (9 px at /2)
+    # must clear min_count=100 only via the scaled count, i.e. NOT
+    pred_small = np.zeros((h // s, w // s), np.int32)
+    pred_small[2:5, 2:5] = 1           # 9 px at /2 -> 36 full-res px < 100
+    sc_small = (pred_small > 0).astype(np.float32)
+    _, found_small, _ = predict._class_mask(
+        jnp.asarray(sc_small), jnp.asarray(pred_small), 1, cca_scale=4,
+        cca_sweeps=3, seg_stride=s, full_hw=(h, w))
+    assert not bool(found_small)
+
+
+def test_full_prediction_seg_out_stride(models):
+    """The seg_out_stride=4 serving graph (relowered U-Net decoder) shares
+    the exact build's weights verbatim (identical param tree) and keeps the
+    full-res output contract: full-res masks, full-res argmax, same class
+    keys. Accuracy is gated on the trained demo (scripts/attribute_serving
+    --seg-out-stride), not with random weights here."""
+    image, depth, meta = scene()
+    m_u4 = predict.build_models(
+        num_classes_fg=2, model_points=np.asarray(models.model_points),
+        classes=models.classes, num_points=64, crop=32, refine_iters=2,
+        dtype=jnp.float32, img_hw=(H, W), seg_out_stride=4)
+    assert m_u4.seg_model.out_stride == 4
+    m_u4 = m_u4._replace(seg_vars=models.seg_vars,
+                         pose_vars=models.pose_vars,
+                         refine_vars=models.refine_vars)
+    out = predict.full_prediction(image, depth, meta, m_u4,
+                                  key=jax.random.PRNGKey(0))
+    for cls, p in out["predictions"].items():
+        assert p["mask"].shape == (H, W)
+        assert p["position"].shape == (3,)
+        # the /4-lattice mask is block-constant on 4x4 cells
+        m = p["mask"].reshape(H // 4, 4, W // 4, 4)
+        assert (m == m[:, :1, :, :1]).all()
+
+
 def test_mask_bitpacking_roundtrip():
     """_pack_masks (device, MSB-first) and _unpack_masks (host
     np.unpackbits) are exact inverses — the packed form is the masks' 8x
