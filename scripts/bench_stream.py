@@ -35,6 +35,11 @@ def main():
     from autoposeestimation_tpu.pipeline import predict
     from autoposeestimation_tpu.utils import synthetic
 
+    n_frames = 64
+    for a in sys.argv[1:]:
+        if a.startswith("--frames="):
+            n_frames = int(a.split("=", 1)[1])
+
     # liveness probe FIRST (before any big compile): one tiny
     # dispatch+readback round-trip, also the attribution line
     ready = jnp.zeros((16,), jnp.float32) + 1
@@ -44,6 +49,28 @@ def main():
         _ = np.asarray(ready + 0)
     rtt = (time.perf_counter() - t0) / 30
     emit("tunnel_dispatch_readback_rtt_ms", rtt * 1000, "ms")
+
+    # link BANDWIDTH both ways (the serving frames are ~1.5 MB/frame on the
+    # wire; a degraded-uplink tunnel phase makes every host-loop number a
+    # link measurement, not a software one — these two lines prove which
+    # regime the session is in and feed the local-deployment derivation)
+    big = np.zeros((4 << 20,), np.uint8)  # 4 MB
+    for _ in range(2):
+        d = jax.device_put(big)
+        d.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(3):
+        jax.device_put(big).block_until_ready()
+    h2d = 3 * big.nbytes / (time.perf_counter() - t0)
+    emit("tunnel_h2d_bandwidth_mb_s", h2d / 1e6, "MB/s")
+    t0 = time.perf_counter()
+    for _ in range(3):
+        _ = np.asarray(d)
+    d2h = 3 * big.nbytes / (time.perf_counter() - t0)
+    emit("tunnel_d2h_bandwidth_mb_s", d2h / 1e6, "MB/s")
+    # per-frame wire cost of the no-masks serving uplink: u8 RGB + u16 depth
+    wire_mb = (640 * 480 * 3 + 640 * 480 * 2) / 1e6
+    emit("wire_seconds_per_frame_u16", wire_mb * 1e6 / h2d, "s")
 
     rng = np.random.default_rng(0)
     num_classes = 5
@@ -65,7 +92,6 @@ def main():
 
     meta_s = {"intr": {"fx": 600.0, "fy": 600.0, "ppx": 320.0, "ppy": 240.0},
               "depth_scale": 0.001}
-    n_frames = 64
     frame_list = [(np.asarray(frames[i % 8][0]),
                    np.asarray(frames[i % 8][1]), meta_s)
                   for i in range(n_frames)]
